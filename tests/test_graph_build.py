@@ -1,0 +1,107 @@
+"""Property tests for the event-graph builder.
+
+The jittable sort-based builder (dagr_tpu/graph/build.py) must
+reproduce, slot for slot, the neighbor selection of the reference CUDA
+kernels (reference: src/dagr/graph/ev_graph.cu:15-128), as captured by
+the numpy oracle in dagr_tpu/graph/reference.py.  Invariants from
+reference model/layers/ev_tgn.py:53-55: src_i <= dst_i, self edge
+first, <= max_neighbors edges per destination, dt <= delta_t_us.
+"""
+import numpy as np
+import pytest
+
+from dagr_tpu.graph.build import build_graph
+from dagr_tpu.graph.reference import build_graph_dense, spiral_offsets
+
+
+def random_events(rng, B, N, W, H, T, n_valid=None):
+    pos = np.zeros((B, N, 3), dtype=np.int32)
+    mask = np.zeros((B, N), dtype=bool)
+    for b in range(B):
+        nv = n_valid if n_valid is not None else rng.integers(1, N + 1)
+        pos[b, :nv, 0] = rng.integers(0, W, nv)
+        pos[b, :nv, 1] = rng.integers(0, H, nv)
+        pos[b, :nv, 2] = np.sort(rng.integers(0, T, nv))
+        mask[b, :nv] = True
+    return pos, mask
+
+
+def test_spiral_matches_cuda_order():
+    # first entries of the reference SpiralOut sequence
+    # (reference: src/dagr/graph/spiral.h:8-14)
+    s = spiral_offsets(2)
+    assert s[:9] == [
+        (0, 0), (1, 0), (1, 1), (0, 1), (-1, 1),
+        (-1, 0), (-1, -1), (0, -1), (1, -1),
+    ]
+    assert len(s) == 25
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+@pytest.mark.parametrize(
+    "W,H,T,radius,delta_t,K,Q",
+    [
+        (16, 12, 1000, 2, 300, 6, 4),     # small queue: eviction exercised
+        (16, 12, 1000, 1, 1000000, 4, 128),  # no dt cutoff
+        (32, 24, 5000, 3, 500, 16, 8),
+    ],
+)
+def test_matches_oracle(seed, W, H, T, radius, delta_t, K, Q):
+    rng = np.random.default_rng(seed)
+    B, N = 2, 200
+    pos, mask = random_events(rng, B, N, W, H, T)
+    # force many same-pixel collisions to stress the queue
+    pos[..., 0] %= 6
+    pos[..., 1] %= 5
+
+    nbr_ref, mask_ref = build_graph_dense(
+        pos, mask, W, H, radius, delta_t, K, queue_size=Q
+    )
+    g = build_graph(
+        pos, mask, width=W, height=H, radius=radius, delta_t_us=delta_t,
+        max_neighbors=K, queue_size=Q, chunk=64,
+    )
+    nbr = np.asarray(g.nbr)
+    nbr_mask = np.asarray(g.nbr_mask)
+
+    np.testing.assert_array_equal(nbr_mask, mask_ref)
+    np.testing.assert_array_equal(np.where(mask_ref, nbr, 0), np.where(mask_ref, nbr_ref, 0))
+
+
+def test_invariants():
+    rng = np.random.default_rng(7)
+    B, N, W, H, T = 1, 500, 32, 24, 10000
+    pos, mask = random_events(rng, B, N, W, H, T, n_valid=N)
+    K, radius, delta_t = 8, 3, 2000
+    g = build_graph(
+        pos, mask, width=W, height=H, radius=radius, delta_t_us=delta_t,
+        max_neighbors=K, queue_size=128,
+    )
+    nbr = np.asarray(g.nbr)[0]
+    m = np.asarray(g.nbr_mask)[0]
+    dst = np.arange(N)[:, None]
+    # self edge first
+    np.testing.assert_array_equal(nbr[:, 0], np.arange(N))
+    assert m[:, 0].all()
+    # src <= dst everywhere (reference: ev_tgn.py:54)
+    assert (nbr[m] <= np.broadcast_to(dst, nbr.shape)[m]).all()
+    # dt cap
+    t = pos[0, :, 2]
+    src_t = t[nbr]
+    dt = t[:, None] - src_t
+    assert (dt[m] <= delta_t).all()
+    assert (dt[m] >= 0).all()
+    # spatial cap (chebyshev radius)
+    dx = np.abs(pos[0, :, 0][:, None] - pos[0, :, 0][nbr])
+    dy = np.abs(pos[0, :, 1][:, None] - pos[0, :, 1][nbr])
+    assert (np.maximum(dx, dy)[m] <= radius).all()
+
+
+def test_empty_and_full_padding():
+    pos = np.zeros((2, 16, 3), dtype=np.int32)
+    mask = np.zeros((2, 16), dtype=bool)
+    g = build_graph(
+        pos, mask, width=8, height=8, radius=1, delta_t_us=100,
+        max_neighbors=4, queue_size=8,
+    )
+    assert not np.asarray(g.nbr_mask).any()
