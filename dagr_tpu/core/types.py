@@ -70,16 +70,46 @@ class EventGraph:
 
 @struct.dataclass
 class NodeSet:
-    """Node features + graph for the event (pre-pooling) stage."""
+    """Node features + graph at any level of the backbone pyramid.
+
+    A single, uniform representation serves both the raw event graph
+    (level 0: N = n_nodes capacity, K = max_neighbors) and every pooled
+    level (node id == voxel-cell id ``cx + nx * cy``, K = 9 stencil
+    slots in GRID_OFFSETS order).  The reference instead threads a PyG
+    ``Data`` with a ragged ``2 x E`` edge list through every layer
+    (reference: src/dagr/model/networks/net.py:108-190); here one conv
+    implementation and one jit trace serve all levels.
+
+    ``grid_hw`` is set on pooled levels: (ny, nx) of the voxel grid,
+    letting the head reshape features to its dense ``B x ny x nx x C``
+    canvas for free (the reference scatters into a zeroed canvas,
+    src/dagr/model/layers/spline_conv.py:80-107).
+    ``tmax`` is the per-cell max timestamp, used for the optional
+    temporal-ordering edge filter (reference: pooling.py:69-72).
+    """
 
     feat: jnp.ndarray       # f32 [B, N, C]
-    pos: jnp.ndarray        # f32 [B, N, 3] normalized
+    pos: jnp.ndarray        # f32 [B, N, 3] normalized (x, y, t)
     mask: jnp.ndarray       # bool [B, N]
     graph: EventGraph
+    tmax: Optional[jnp.ndarray] = None  # f32 [B, N]
+    grid_hw: Optional[Tuple[int, int]] = struct.field(
+        pytree_node=False, default=None
+    )
 
     @property
     def num_nodes(self) -> int:
         return self.feat.shape[1]
+
+    def canvas(self) -> jnp.ndarray:
+        """Dense [B, ny, nx, C] view of a pooled level, empty cells
+        zeroed (reference: spline_conv.py:80-107, to_dense)."""
+        assert self.grid_hw is not None, "canvas() needs a pooled level"
+        ny, nx = self.grid_hw
+        B, N, C = self.feat.shape
+        assert N == ny * nx
+        feat = jnp.where(self.mask[..., None], self.feat, 0.0)
+        return feat.reshape(B, ny, nx, C)
 
 
 # offsets of the 9-cell neighborhood, order (dy, dx) row-major
@@ -87,59 +117,3 @@ GRID_OFFSETS: Tuple[Tuple[int, int], ...] = tuple(
     (dy, dx) for dy in (-1, 0, 1) for dx in (-1, 0, 1)
 )
 GRID_SELF_OFFSET = 4  # index of (0, 0) in GRID_OFFSETS
-
-
-@struct.dataclass
-class VoxelGrid:
-    """A pooled graph living on a dense voxel grid.
-
-    After the first voxel pooling the reference's graph has at most
-    ``num_grid_cells`` nodes (reference: model/layers/pooling.py:34,43-45)
-    and every edge connects cells at most one cell apart (edge length is
-    bounded by the previous graph's Cartesian radius, which is < 2 cell
-    widths).  We therefore store the pooled graph densely:
-
-    * ``feat[b, y, x]``   — pooled features of cell (x, y), zero if empty
-    * ``mask[b, y, x]``   — cell contains at least one node
-    * ``pos[b, y, x]``    — mean node position, x/y floored to pixel
-                             (reference: pooling.py:47-49,86)
-    * ``tmax[b, y, x]``   — max t inside cell (for temporal-order edges,
-                             reference: pooling.py:69-72)
-    * ``adj[b, y, x, o]`` — True if an edge (src = cell + offset_o,
-                             dst = cell) survived pooling; offset order
-                             is GRID_OFFSETS; the self slot o=4 is the
-                             (deduplicated) self loop, which the
-                             reference removes (pooling.py:62) — kept
-                             False here.
-
-    SplineConv on this structure is a masked 9-offset stencil whose
-    inner op is a dense matmul — the TPU-native replacement for
-    scatter-based message passing.
-    """
-
-    feat: jnp.ndarray   # f32 [B, H', W', C]
-    mask: jnp.ndarray   # bool [B, H', W']
-    pos: jnp.ndarray    # f32 [B, H', W', 3]
-    tmax: jnp.ndarray   # f32 [B, H', W']
-    adj: jnp.ndarray    # bool [B, H', W', 9]
-
-    @property
-    def grid_hw(self) -> Tuple[int, int]:
-        return self.feat.shape[1], self.feat.shape[2]
-
-
-def shift2d(x: jnp.ndarray, dy: int, dx: int, fill=0):
-    """Shift a [B, H, W, ...] array so out[b, y, x] = x[b, y+dy, x+dx],
-    filling out-of-bounds with ``fill``.  Used to read the neighbor cell
-    at offset (dy, dx) for every cell at once."""
-    out = x
-    if dy != 0:
-        out = jnp.roll(out, -dy, axis=1)
-    if dx != 0:
-        out = jnp.roll(out, -dx, axis=2)
-    H, W = x.shape[1], x.shape[2]
-    yy = jnp.arange(H)[None, :, None]
-    xx = jnp.arange(W)[None, None, :]
-    valid = (yy + dy >= 0) & (yy + dy < H) & (xx + dx >= 0) & (xx + dx < W)
-    valid = valid.reshape((1, H, W) + (1,) * (x.ndim - 3))
-    return jnp.where(valid, out, fill)

@@ -1,0 +1,173 @@
+"""Voxel-grid graph pooling.
+
+TPU-native replacement for the reference Pooling module
+(reference: src/dagr/model/layers/pooling.py:19-97), which uses
+torch-cluster ``grid_cluster`` + ``torch.unique`` + torch-scatter.
+None of that is static-shape; here the pooled level is a *dense* cell
+table of ``ny * nx`` nodes (node id == cell id == cx + nx * cy, exactly
+grid_cluster's linearization order with x fastest), empty cells masked.
+``unique``/``consecutive_cluster`` disappear entirely — they only
+compact the same table.
+
+The pooled graph's edges are the 9-offset stencil (GRID_OFFSETS): an
+event-graph edge spans < 1 cell in each dimension (radius_px/W < vx by
+construction of the reference's pooling dims), and a level-l stencil
+edge spans <= 1 cell of level l+1, so every pooled edge connects cells
+at Chebyshev distance <= 1.  Out-of-stencil fine edges (impossible for
+reference geometries) are dropped, and a test asserts the geometry.
+
+Reproduced semantics, line for line against the reference:
+ * cluster id from clamped positions           (pooling.py:55-57)
+ * self-loop removal (default)                 (pooling.py:59-64)
+ * edge dedup — free, adjacency is boolean     (pooling.py:60-64)
+ * optional temporal-ordering filter t_dst>t_src on per-cell max t
+                                               (pooling.py:69-72)
+ * max or mean feature aggregation             (pooling.py:74-77)
+ * mean position, x/y floored to pixel centers (pooling.py:47-49,86)
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from dagr_tpu.core.types import EventGraph, NodeSet, GRID_OFFSETS, GRID_SELF_OFFSET
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "grid_ny", "grid_nx", "width", "height", "aggr",
+        "keep_temporal_ordering", "self_loop",
+    ),
+)
+def pool_graph(
+    feat: jnp.ndarray,        # f32 [B, N, C]
+    pos: jnp.ndarray,         # f32 [B, N, 3] normalized (x, y, t)
+    mask: jnp.ndarray,        # bool [B, N]
+    nbr: jnp.ndarray,         # i32 [B, N, K]
+    nbr_mask: jnp.ndarray,    # bool [B, N, K]
+    *,
+    grid_ny: int,
+    grid_nx: int,
+    width: int,
+    height: int,
+    aggr: str = "max",
+    keep_temporal_ordering: bool = False,
+    self_loop: bool = False,
+):
+    """Returns (feat', pos', mask', nbr', nbr_mask', tmax') on the
+    ``grid_ny * grid_nx`` cell table (K' = 9 stencil slots)."""
+    assert aggr in ("max", "mean")
+    B, N, C = feat.shape
+    ncells = grid_ny * grid_nx
+    # grid_cluster clamps pos to [0, 0.9999999] (reference: pooling.py:30-31)
+    px = jnp.clip(pos[..., 0], 0.0, 0.9999999)
+    py = jnp.clip(pos[..., 1], 0.0, 0.9999999)
+    cx = jnp.clip((px * grid_nx).astype(jnp.int32), 0, grid_nx - 1)
+    cy = jnp.clip((py * grid_ny).astype(jnp.int32), 0, grid_ny - 1)
+    cell = cx + grid_nx * cy                                   # [B, N]
+    seg = jnp.where(mask, cell, ncells)                       # overflow bin
+
+    def seg_sum(v):
+        return jax.vmap(
+            lambda s, val: jax.ops.segment_sum(val, s, num_segments=ncells + 1)
+        )(seg, v)[:, :ncells]
+
+    def seg_max(v):
+        return jax.vmap(
+            lambda s, val: jax.ops.segment_max(val, s, num_segments=ncells + 1)
+        )(seg, v)[:, :ncells]
+
+    count = seg_sum(mask.astype(jnp.int32))                   # [B, ncells]
+    cmask = count > 0
+
+    if aggr == "max":
+        # mask invalid rows to -inf so they never win
+        big_neg = jnp.finfo(feat.dtype).min
+        fmasked = jnp.where(mask[..., None], feat, big_neg)
+        pooled = seg_max(fmasked)
+        pooled = jnp.where(cmask[..., None], pooled, 0.0)
+    else:
+        pooled = seg_sum(jnp.where(mask[..., None], feat, 0.0))
+        pooled = pooled / jnp.maximum(count[..., None], 1)
+
+    pos_sum = seg_sum(jnp.where(mask[..., None], pos, 0.0))
+    pos_mean = pos_sum / jnp.maximum(count[..., None], 1)
+    # round x, y to pixel centers (reference: pooling.py:47-49,86)
+    pxy = jnp.floor((pos_mean[..., :2] + 1e-5) * jnp.array([width, height], pos.dtype))
+    pxy = pxy / jnp.array([width, height], pos.dtype)
+    pos_out = jnp.concatenate([pxy, pos_mean[..., 2:]], axis=-1)
+    pos_out = jnp.where(cmask[..., None], pos_out, 0.0)
+
+    tmax = seg_max(jnp.where(mask, pos[..., 2], -jnp.inf))
+    tmax = jnp.where(cmask, tmax, -jnp.inf)                   # [B, ncells]
+
+    # ---- pool the fine edges into stencil adjacency ----------------------
+    K = nbr.shape[-1]
+    src = jnp.clip(nbr, 0, N - 1)
+    c_src_x = jnp.take_along_axis(cx, src.reshape(B, -1), axis=1).reshape(B, N, K)
+    c_src_y = jnp.take_along_axis(cy, src.reshape(B, -1), axis=1).reshape(B, N, K)
+    dx = c_src_x - cx[..., None]
+    dy = c_src_y - cy[..., None]
+    in_stencil = (jnp.abs(dx) <= 1) & (jnp.abs(dy) <= 1)
+    o = (dy + 1) * 3 + (dx + 1)                               # GRID_OFFSETS order
+    src_valid = jnp.take_along_axis(
+        mask, src.reshape(B, -1), axis=1
+    ).reshape(B, N, K)
+    evalid = nbr_mask & mask[..., None] & src_valid & in_stencil
+    if not self_loop:
+        evalid = evalid & (o != GRID_SELF_OFFSET)             # pooling.py:62
+    adj_idx = jnp.where(evalid, cell[..., None] * 9 + o, ncells * 9)
+    adj = jax.vmap(
+        lambda s, v: jax.ops.segment_max(v, s, num_segments=ncells * 9 + 1)
+    )(adj_idx.reshape(B, -1), evalid.reshape(B, -1).astype(jnp.int32))
+    adj = adj[:, : ncells * 9].reshape(B, ncells, 9) > 0
+
+    # ---- stencil neighbor list on the cell table -------------------------
+    cid = jnp.arange(ncells, dtype=jnp.int32)
+    ccx, ccy = cid % grid_nx, cid // grid_nx
+    offs = jnp.array(GRID_OFFSETS, dtype=jnp.int32)           # [9, 2] (dy, dx)
+    nx_ = ccx[:, None] + offs[None, :, 1]
+    ny_ = ccy[:, None] + offs[None, :, 0]
+    inb = (nx_ >= 0) & (nx_ < grid_nx) & (ny_ >= 0) & (ny_ < grid_ny)
+    nbr_cells = jnp.clip(nx_ + grid_nx * ny_, 0, ncells - 1)  # [ncells, 9]
+
+    nbr_out = jnp.broadcast_to(nbr_cells[None], (B, ncells, 9))
+    src_ok = jnp.take_along_axis(
+        cmask, nbr_out.reshape(B, -1), axis=1
+    ).reshape(B, ncells, 9)
+    nbr_mask_out = adj & inb[None] & src_ok & cmask[..., None]
+
+    if keep_temporal_ordering:
+        # keep edge only if t_max(dst) > t_max(src)  (pooling.py:69-72)
+        t_src = jnp.take_along_axis(
+            tmax, nbr_out.reshape(B, -1), axis=1
+        ).reshape(B, ncells, 9)
+        nbr_mask_out = nbr_mask_out & (tmax[..., None] > t_src)
+
+    return pooled, pos_out, cmask, nbr_out, nbr_mask_out, tmax
+
+
+def pool_nodeset(
+    ns: NodeSet,
+    *,
+    grid_ny: int,
+    grid_nx: int,
+    width: int,
+    height: int,
+    aggr: str = "max",
+    keep_temporal_ordering: bool = False,
+) -> NodeSet:
+    """NodeSet-level wrapper (mirrors Pooling.forward, pooling.py:51-97)."""
+    feat, pos, mask, nbr, nbr_mask, tmax = pool_graph(
+        ns.feat, ns.pos, ns.mask, ns.graph.nbr, ns.graph.nbr_mask,
+        grid_ny=grid_ny, grid_nx=grid_nx, width=width, height=height,
+        aggr=aggr, keep_temporal_ordering=keep_temporal_ordering,
+    )
+    return NodeSet(
+        feat=feat, pos=pos, mask=mask,
+        graph=EventGraph(nbr=nbr, nbr_mask=nbr_mask),
+        tmax=tmax, grid_hw=(grid_ny, grid_nx),
+    )

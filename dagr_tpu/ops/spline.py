@@ -1,0 +1,132 @@
+"""Spline convolution over fixed-degree neighbor lists.
+
+TPU-native replacement for PyG SplineConv + torch-spline-conv
+(reference: src/dagr/model/layers/spline_conv.py:9-78; the external
+``spline_basis`` op it calls computes, for degree=1/dim=2/kernel 5x5,
+a bilinear interpolation into a 5x5 grid of weight matrices — the
+reference's own LUT mode spells this out at spline_conv.py:16-47).
+
+Design (SURVEY.md §7): instead of ragged per-edge scatter/gather, edges
+live in dense ``[B, N, K]`` neighbor slots.  The message for an edge is
+
+    m = sum_p basis_p(attr) * (x_src @ W_p),   p in 5x5 kernel taps
+
+computed as ONE MXU matmul per edge chunk: ``z = x_src @ W`` with W
+reshaped to ``[Cin, P*Cout]``, followed by a small VPU contraction with
+the (4-sparse but densely stored) basis vector.  Node chunking under
+``lax.map`` bounds the ``[*, P, Cout]`` intermediate regardless of N.
+
+Edge attributes are recomputed from positions on the fly (they are two
+subtractions), matching PyG's Cartesian transform semantics
+(attr = (pos_src - pos_dst) / (2 * max_value) + 0.5, clamped to [0, 1];
+reference: src/dagr/model/layers/components.py:25-35 and the explicit
+clamp at src/dagr/model/networks/net.py:123).
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+
+def bilinear_basis(attr: jnp.ndarray, kernel_size: int = 5) -> jnp.ndarray:
+    """Degree-1 open B-spline basis on a 2-D kernel grid.
+
+    attr: [..., 2] in [0, 1].  Returns dense [..., kernel_size**2] with
+    at most 4 non-zeros.  Flat tap index is ``kx + kernel_size * ky``
+    (dim 0 = x contiguous), the torch-spline-conv layout the reference
+    weights use (reference: spline_conv.py:27-35 builds its LUT by
+    meshgrid(dx, dy) with x varying slowest over rows — the flat order
+    is fixed here and round-tripped by the checkpoint converter).
+    """
+    k = kernel_size
+    p = jnp.clip(attr, 0.0, 1.0) * (k - 1)
+    bot = jnp.clip(jnp.floor(p), 0, k - 2).astype(jnp.int32)   # [..., 2]
+    frac = p - bot.astype(p.dtype)
+    taps = jax.nn.one_hot(bot, k, dtype=p.dtype)               # [..., 2, k]
+    taps_hi = jax.nn.one_hot(bot + 1, k, dtype=p.dtype)
+    w = taps * (1.0 - frac[..., None]) + taps_hi * frac[..., None]
+    wx, wy = w[..., 0, :], w[..., 1, :]
+    # [..., ky, kx] row-major flatten -> flat = ky * k + kx
+    return (wy[..., :, None] * wx[..., None, :]).reshape(*attr.shape[:-1], k * k)
+
+
+def _edge_messages(x_src, attr, weight, kernel_size):
+    """x_src [E, Cin], attr [E, 2], weight [P, Cin, Cout] -> [E, Cout]."""
+    P, cin, cout = weight.shape
+    basis = bilinear_basis(attr, kernel_size)                   # [E, P]
+    w_flat = jnp.transpose(weight, (1, 0, 2)).reshape(cin, P * cout)
+    z = jnp.dot(x_src, w_flat, preferred_element_type=jnp.float32)
+    return jnp.einsum("ep,epo->eo", basis, z.reshape(-1, P, cout))
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("kernel_size", "max_value", "node_chunk"),
+)
+def spline_conv(
+    x: jnp.ndarray,            # f32 [B, N, Cin]
+    pos: jnp.ndarray,          # f32 [B, N, >=2] normalized positions
+    nbr: jnp.ndarray,          # i32 [B, N, K] source index per (dst, slot)
+    nbr_mask: jnp.ndarray,     # bool [B, N, K]
+    weight: jnp.ndarray,       # f32 [P, Cin, Cout], P = kernel_size**2
+    root_weight: Optional[jnp.ndarray] = None,  # f32 [Cin, Cout]
+    bias: Optional[jnp.ndarray] = None,         # f32 [Cout]
+    *,
+    max_value: float,
+    kernel_size: int = 5,
+    node_chunk: int = 2048,
+) -> jnp.ndarray:
+    """Masked spline message passing; returns [B, N, Cout].
+
+    Matches MySplineConv._forward (reference: spline_conv.py:64-78):
+    out = sum_{src in nbr} basis(attr) . W . x_src  (+ x @ root) (+ b).
+    Invalid slots and invalid nodes contribute nothing.
+    """
+    B, N, cin = x.shape
+    K = nbr.shape[-1]
+    P, _, cout = weight.shape
+    assert P == kernel_size * kernel_size
+
+    M = B * N
+    x_flat = x.reshape(M, cin)
+    pos_flat = pos[..., :2].reshape(M, 2)
+    base = (jnp.arange(B, dtype=jnp.int32) * N)[:, None, None]
+    nbr_flat = (nbr + base).reshape(M, K)
+    mask_flat = nbr_mask.reshape(M, K)
+
+    pad_to = ((M + node_chunk - 1) // node_chunk) * node_chunk
+    pad = pad_to - M
+
+    def padded(a, fill=0):
+        cfg = [(0, pad)] + [(0, 0)] * (a.ndim - 1)
+        return jnp.pad(a, cfg, constant_values=fill).reshape(
+            (-1, node_chunk) + a.shape[1:]
+        )
+
+    def chunk_fn(args):
+        nbr_c, mask_c, pos_c = args            # [T, K], [T, K], [T, 2]
+        T = nbr_c.shape[0]
+        idx = jnp.clip(nbr_c, 0, M - 1)
+        x_src = x_flat[idx.reshape(-1)]                       # [T*K, Cin]
+        pos_src = pos_flat[idx.reshape(-1)]                   # [T*K, 2]
+        attr = (pos_src - jnp.repeat(pos_c, K, axis=0)) / (2.0 * max_value) + 0.5
+        attr = jnp.clip(attr, 0.0, 1.0)
+        msg = _edge_messages(x_src, attr, weight, kernel_size)  # [T*K, Cout]
+        msg = msg.reshape(T, K, cout) * mask_c[..., None]
+        return msg.sum(axis=1)
+
+    args = (padded(nbr_flat), padded(mask_flat, False), padded(pos_flat))
+    if pad_to == node_chunk:
+        out = chunk_fn(jax.tree.map(lambda a: a[0], args))[:M]
+    else:
+        out = jax.lax.map(chunk_fn, args).reshape(pad_to, cout)[:M]
+    out = out.reshape(B, N, cout)
+
+    if root_weight is not None:
+        out = out + jnp.dot(x, root_weight, preferred_element_type=jnp.float32)
+    if bias is not None:
+        out = out + bias
+    return out

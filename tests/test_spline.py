@@ -1,0 +1,109 @@
+"""Spline-conv numerics vs a naive per-edge numpy implementation of the
+reference semantics (reference: src/dagr/model/layers/spline_conv.py
+and torch-spline-conv's degree-1 basis — bilinear interpolation into a
+kernel_size x kernel_size grid of weight matrices)."""
+import numpy as np
+import pytest
+
+from dagr_tpu.ops.spline import bilinear_basis, spline_conv
+
+
+def naive_basis(attr, k=5):
+    """Per-edge bilinear basis, independent reimplementation."""
+    out = np.zeros((k * k,))
+    p = np.clip(attr, 0, 1) * (k - 1)
+    bot = np.minimum(np.floor(p), k - 2).astype(int)
+    f = p - bot
+    for bx, wx in ((0, 1 - f[0]), (1, f[0])):
+        for by, wy in ((0, 1 - f[1]), (1, f[1])):
+            out[(bot[1] + by) * k + (bot[0] + bx)] += wx * wy
+    return out
+
+
+def naive_spline_conv(x, pos, nbr, nbr_mask, W, Wr, b, max_value, k=5):
+    B, N, cin = x.shape
+    P, _, cout = W.shape
+    out = np.zeros((B, N, cout))
+    for bi in range(B):
+        for n in range(N):
+            for s in range(nbr.shape[-1]):
+                if not nbr_mask[bi, n, s]:
+                    continue
+                j = nbr[bi, n, s]
+                attr = (pos[bi, j, :2] - pos[bi, n, :2]) / (2 * max_value) + 0.5
+                attr = np.clip(attr, 0, 1)
+                basis = naive_basis(attr, k)
+                Weff = np.einsum("p,pio->io", basis, W)
+                out[bi, n] += x[bi, j] @ Weff
+            if Wr is not None:
+                out[bi, n] += x[bi, n] @ Wr
+            if b is not None:
+                out[bi, n] += b
+    return out
+
+
+def test_basis_partition_of_unity(rng):
+    attr = rng.random((100, 2))
+    b = np.asarray(bilinear_basis(attr, 5))
+    np.testing.assert_allclose(b.sum(-1), 1.0, atol=1e-6)
+    assert (np.sort(b, axis=-1)[:, :-4] == 0).all()  # <= 4 nonzeros
+
+
+def test_basis_center_is_single_tap():
+    b = np.asarray(bilinear_basis(np.array([0.5, 0.5]), 5))
+    expect = np.zeros(25)
+    expect[2 * 5 + 2] = 1.0
+    np.testing.assert_allclose(b, expect, atol=1e-7)
+
+
+def test_basis_corners():
+    # attr = 0 -> tap (0, 0); attr = 1 -> tap (4, 4)
+    b0 = np.asarray(bilinear_basis(np.array([0.0, 0.0]), 5))
+    b1 = np.asarray(bilinear_basis(np.array([1.0, 1.0]), 5))
+    assert b0[0] == 1.0 and b0.sum() == 1.0
+    assert b1[24] == 1.0 and abs(b1.sum() - 1.0) < 1e-6
+
+
+@pytest.mark.parametrize("chunk", [64, 2048])
+@pytest.mark.parametrize("cin,cout,K", [(3, 8, 5), (16, 16, 16)])
+def test_matches_naive(rng, chunk, cin, cout, K):
+    B, N = 2, 50
+    x = rng.standard_normal((B, N, cin)).astype(np.float32)
+    pos = rng.random((B, N, 3)).astype(np.float32)
+    nbr = rng.integers(0, N, (B, N, K)).astype(np.int32)
+    nbr_mask = rng.random((B, N, K)) < 0.7
+    W = rng.standard_normal((25, cin, cout)).astype(np.float32) * 0.1
+    Wr = rng.standard_normal((cin, cout)).astype(np.float32) * 0.1
+    b = rng.standard_normal((cout,)).astype(np.float32)
+    mv = 0.05
+    # keep attrs mostly in range so the clamp isn't the whole story
+    pos[..., :2] *= 0.1
+
+    got = np.asarray(spline_conv(
+        x, pos, nbr, nbr_mask, W, Wr, b,
+        max_value=mv, kernel_size=5, node_chunk=chunk,
+    ))
+    want = naive_spline_conv(x, pos, nbr, nbr_mask, W, Wr, b, mv)
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
+
+def test_grad_flows(rng):
+    import jax
+    import jax.numpy as jnp
+
+    B, N, K, cin, cout = 1, 20, 4, 3, 4
+    x = jnp.asarray(rng.standard_normal((B, N, cin)), dtype=jnp.float32)
+    pos = jnp.asarray(rng.random((B, N, 3)), dtype=jnp.float32)
+    nbr = jnp.asarray(rng.integers(0, N, (B, N, K)), dtype=jnp.int32)
+    nbr_mask = jnp.asarray(rng.random((B, N, K)) < 0.8)
+    W = jnp.asarray(rng.standard_normal((25, cin, cout)), dtype=jnp.float32)
+    Wr = jnp.asarray(rng.standard_normal((cin, cout)), dtype=jnp.float32)
+
+    def loss(W, Wr, x):
+        out = spline_conv(x, pos, nbr, nbr_mask, W, Wr, None,
+                          max_value=0.05, node_chunk=8)
+        return (out ** 2).sum()
+
+    g = jax.grad(loss, argnums=(0, 1, 2))(W, Wr, x)
+    assert all(bool(jnp.isfinite(gi).all()) for gi in g)
+    assert float(jnp.abs(g[0]).sum()) > 0
