@@ -79,9 +79,10 @@ class DagrConfig:
     dp: int = 1
     # dtype for matmul-heavy compute ("bfloat16" or "float32")
     compute_dtype: str = "float32"
-    # static capacity of event-stage edge slots per node == max_neighbors
     # streaming chunk size for the incremental engine
     stream_chunk: int = 1024
+    # node chunk for the spline-conv edge pipeline (bounds VMEM/HBM use)
+    node_chunk: int = 2048
 
     def replace(self, **kw) -> "DagrConfig":
         return dataclasses.replace(self, **kw)
@@ -140,6 +141,24 @@ class DagrConfig:
         """Cartesian max_value for the event graph
         (reference: model/networks/net.py:72)."""
         return 2 * float(int(self.radius * width + 2) / width)
+
+    def cartesian_max_values(self, width: int) -> Tuple[float, ...]:
+        """Edge-attr normalization (Cartesian max_value) per level:
+        [event graph, G1, G2, G3, G4].
+
+        reference: model/networks/net.py:68,72-97 — the event level uses
+        effective_radius, pool1's transform uses 2*effective_radius, and
+        pools 2-4 use 2*max(voxel_size_xy) of their level.
+        """
+        eff = self.effective_radius(width)
+        sizes = self.pooling_sizes()
+        return (
+            eff,
+            2 * eff,
+            2 * max(sizes[1]),
+            2 * max(sizes[2]),
+            2 * max(sizes[3]),
+        )
 
     def radius_px(self, width: int) -> int:
         """Integer search radius in pixels
