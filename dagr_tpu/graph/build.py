@@ -157,6 +157,82 @@ def build_graph(
     return EventGraph(nbr=nbr, nbr_mask=nbr_mask)
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "width", "height", "radius", "delta_t_us", "max_neighbors",
+        "queue_size",
+    ),
+)
+def search_edges_into_store(
+    store_x: jnp.ndarray,     # i32 [N] store pixel x (slot order == time order)
+    store_y: jnp.ndarray,     # i32 [N]
+    store_t: jnp.ndarray,     # i32 [N] timestamps (us)
+    store_valid: jnp.ndarray, # bool [N]
+    q_x: jnp.ndarray,         # i32 [C] query (new-event) pixel x
+    q_y: jnp.ndarray,
+    q_t: jnp.ndarray,
+    q_idx: jnp.ndarray,       # i32 [C] query's own slot index in the store
+    q_valid: jnp.ndarray,     # bool [C]
+    *,
+    width: int,
+    height: int,
+    radius: int,
+    delta_t_us: int,
+    max_neighbors: int,
+    queue_size: int = 128,
+):
+    """Edge search for a chunk of new events against the full event
+    store — the streaming-engine counterpart of the per-event CUDA path
+    (reference: graph/ev_graph.py:62-103 forward with collect_edges,
+    ev_graph.cu:130-166 single-event insertion + :15-128 search).
+
+    The store must already contain the queries (insert-then-search,
+    like the reference).  Returns (nbr [C, K-1], mask [C, K-1]) of
+    non-self edges in (spiral order, recency) priority; combine with the
+    self edge at slot 0 like build_graph does.
+    """
+    N = store_x.shape[0]
+    K = max_neighbors
+    ITERS = int(np.ceil(np.log2(max(N, 2)))) + 1
+    PAD_LIN = np.int32(height * width)
+    offs = np.array(spiral_offsets(radius), dtype=np.int32)
+
+    lin = jnp.where(store_valid, store_y * width + store_x, PAD_LIN)
+    order = jnp.argsort(lin, stable=True).astype(jnp.int32)
+    s_lin = lin[order]
+    s_within = order                     # slot index == temporal order
+    s_t = store_t[order]
+
+    xn = q_x[:, None] + offs[None, :, 0]                     # [C, S]
+    yn = q_y[:, None] + offs[None, :, 1]
+    inb = (xn >= 0) & (xn < width) & (yn >= 0) & (yn < height) & q_valid[:, None]
+    p = jnp.where(inb, yn * width + xn, PAD_LIN)
+
+    g_lo = jnp.searchsorted(s_lin, p, side="left").astype(jnp.int32)
+    g_hi = jnp.searchsorted(s_lin, p, side="right").astype(jnp.int32)
+    pos_i = _seg_lower_bound(s_within, g_lo, g_hi, q_idx[:, None], ITERS)
+    t_lo = _seg_lower_bound(s_t, g_lo, g_hi, q_t[:, None] - delta_t_us, ITERS)
+
+    lo = jnp.maximum(jnp.maximum(g_lo, g_hi - queue_size), t_lo)
+    hi = pos_i
+    cnt = jnp.where(inb, jnp.maximum(hi - lo, 0), 0)
+
+    C = q_x.shape[0]
+    cum = jnp.cumsum(cnt, axis=-1)
+    slots = jnp.arange(K - 1, dtype=jnp.int32)
+    hit = cum[:, None, :] > slots[None, :, None]
+    s_sel = jnp.argmax(hit, axis=-1).astype(jnp.int32)
+    any_hit = jnp.any(hit, axis=-1)
+    cum_prev = jnp.concatenate([jnp.zeros((C, 1), cum.dtype), cum[:, :-1]], axis=-1)
+    within_cell = slots[None, :] - jnp.take_along_axis(cum_prev, s_sel, axis=1)
+    hi_sel = jnp.take_along_axis(hi, s_sel, axis=1)
+    sorted_pos = jnp.clip(hi_sel - 1 - within_cell, 0, N - 1)
+    src = order[sorted_pos]
+    valid = any_hit & q_valid[:, None]
+    return jnp.where(valid, src, 0).astype(jnp.int32), valid
+
+
 def build_graph_from_batch(events, cfg) -> EventGraph:
     """Convenience wrapper mirroring EV_TGN.forward
     (reference: model/layers/ev_tgn.py:39-58)."""

@@ -1,0 +1,134 @@
+"""Pure eval-mode layer applications over explicit param subtrees.
+
+The streaming engine (and FLOP tools) need to run individual backbone
+stages against persistent state, which flax's compact modules can't
+expose.  These helpers apply the SAME parameter trees produced by
+models/blocks.py / models/head.py in eval mode (frozen batch-norm
+statistics — the reference's asynchronous runtime does the same,
+reference: src/dagr/asynchronous/batch_norm.py:25-55).
+
+Consistency between these and the flax modules is enforced by the
+sync<->streaming equivalence tests (the reference's
+``test_and_compare_activations`` harness, evaluate_flops.py:240-261).
+"""
+from __future__ import annotations
+
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from dagr_tpu.core.types import NodeSet
+from dagr_tpu.models.blocks import activation_fn
+from dagr_tpu.ops.spline import bilinear_basis, spline_conv
+
+BN_EPS = 1e-5
+
+
+def bn_eval(x, params, stats):
+    return (x - stats["mean"]) * jax.lax.rsqrt(stats["var"] + BN_EPS) \
+        * params["scale"] + params["bias"]
+
+
+def conv_block_eval(p, s, ns: NodeSet, max_value: float, activation: str,
+                    node_chunk: int = 2048) -> jnp.ndarray:
+    """ConvBlock in eval mode (reference: conv.py:10-28)."""
+    x = spline_conv(
+        ns.feat, ns.pos, ns.graph.nbr, ns.graph.nbr_mask,
+        p["conv"]["weight"], p["conv"]["root"], None,
+        max_value=max_value, node_chunk=node_chunk,
+    )
+    x = bn_eval(x, p["norm"], s["norm"])
+    x = activation_fn(activation)(x)
+    return jnp.where(ns.mask[..., None], x, 0.0)
+
+
+def layer_eval(p, s, ns: NodeSet, max_value: float, activation: str,
+               node_chunk: int = 2048) -> NodeSet:
+    """Layer in eval mode (reference: conv.py:59-72)."""
+    skip = ns.feat
+    x1 = conv_block_eval(p["conv_block1"], s["conv_block1"], ns,
+                         max_value, activation, node_chunk)
+    ns1 = ns.replace(feat=x1)
+    x2 = spline_conv(
+        ns1.feat, ns1.pos, ns1.graph.nbr, ns1.graph.nbr_mask,
+        p["conv_block2"]["conv"]["weight"], p["conv_block2"]["conv"]["root"],
+        None, max_value=max_value, node_chunk=node_chunk,
+    )
+    x2 = bn_eval(x2, p["conv_block2"]["norm"], s["conv_block2"]["norm"])
+    sk = skip @ p["conv_block2"]["lin"]["kernel"]
+    sk = bn_eval(sk, p["conv_block2"]["norm_skip"], s["conv_block2"]["norm_skip"])
+    x2 = activation_fn(activation)(x2 + sk)
+    return ns.replace(feat=jnp.where(ns.mask[..., None], x2, 0.0))
+
+
+def pred_eval(p, ns: NodeSet, max_value: float,
+              node_chunk: int = 2048) -> jnp.ndarray:
+    """SplineConvToDense's conv part (bias=True, reference:
+    spline_conv.py:110-118); canvas reshape is done by the caller."""
+    return spline_conv(
+        ns.feat, ns.pos, ns.graph.nbr, ns.graph.nbr_mask,
+        p["weight"], p["root"], p["bias"],
+        max_value=max_value, node_chunk=node_chunk,
+    )
+
+
+def scale_head_eval(p, s, ns: NodeSet, max_value: float, activation: str,
+                    node_chunk: int = 2048):
+    """ScaleHead in eval mode (reference: dagr.py:179-190).  Returns
+    (cls, reg, obj) dense canvases [B, ny, nx, C]."""
+    ns = ns.replace(feat=conv_block_eval(
+        p["stem"], s["stem"], ns, max_value, activation, node_chunk))
+    cls_f = ns.replace(feat=conv_block_eval(
+        p["cls_conv"], s["cls_conv"], ns, max_value, activation, node_chunk))
+    reg_f = ns.replace(feat=conv_block_eval(
+        p["reg_conv"], s["reg_conv"], ns, max_value, activation, node_chunk))
+    cls_o = pred_eval(p["cls_pred"], cls_f, max_value, node_chunk)
+    reg_o = pred_eval(p["reg_pred"], reg_f, max_value, node_chunk)
+    obj_o = pred_eval(p["obj_pred"], reg_f, max_value, node_chunk)
+    ny, nx = ns.grid_hw
+    B = ns.feat.shape[0]
+
+    def canvas(x):
+        return jnp.where(ns.mask[..., None], x, 0.0).reshape(B, ny, nx, -1)
+
+    return canvas(cls_o), canvas(reg_o), canvas(obj_o)
+
+
+def spline_conv_gather(
+    x_table: jnp.ndarray,    # [N, Cin] source feature table
+    pos_table: jnp.ndarray,  # [N, >=2] source positions (normalized)
+    dst_pos: jnp.ndarray,    # [C, >=2]
+    dst_x: jnp.ndarray,      # [C, Cin] destination features (for root)
+    nbr: jnp.ndarray,        # [C, K] global indices into the table
+    nbr_mask: jnp.ndarray,   # [C, K]
+    weight: jnp.ndarray,     # [P, Cin, Cout]
+    root: jnp.ndarray = None,
+    bias: jnp.ndarray = None,
+    *,
+    max_value: float,
+    kernel_size: int = 5,
+) -> jnp.ndarray:
+    """Spline conv for a chunk of destination nodes whose sources live
+    in a global table — the streaming-engine inner op (the masked
+    per-row equivalent of the reference's masked_lin + message deltas,
+    reference: asynchronous/conv.py:94-238)."""
+    C, K = nbr.shape
+    P, cin, cout = weight.shape
+    N = x_table.shape[0]
+    idx = jnp.clip(nbr, 0, N - 1).reshape(-1)
+    x_src = x_table[idx]                                   # [C*K, Cin]
+    pos_src = pos_table[idx, :2]
+    attr = (pos_src - jnp.repeat(dst_pos[:, :2], K, axis=0)) \
+        / (2.0 * max_value) + 0.5
+    attr = jnp.clip(attr, 0.0, 1.0)
+    basis = bilinear_basis(attr, kernel_size)              # [C*K, P]
+    w_flat = jnp.transpose(weight, (1, 0, 2)).reshape(cin, P * cout)
+    z = jnp.dot(x_src, w_flat, preferred_element_type=jnp.float32)
+    msg = jnp.einsum("ep,epo->eo", basis, z.reshape(-1, P, cout))
+    msg = (msg.reshape(C, K, cout) * nbr_mask[..., None]).sum(axis=1)
+    if root is not None:
+        msg = msg + dst_x @ root
+    if bias is not None:
+        msg = msg + bias
+    return msg

@@ -1,0 +1,122 @@
+"""Streaming engine tests: the sync<->streaming activation-equivalence
+harness (the reference's single most important correctness check,
+reference: src/dagr/asynchronous/evaluate_flops.py:139-146,240-261 —
+tolerance 1e-3; our masked-recompute design should be far tighter)."""
+import jax
+import numpy as np
+import pytest
+
+from dagr_tpu.config import DagrConfig
+from dagr_tpu.data.synthetic import random_events
+from dagr_tpu.graph.build import build_graph, search_edges_into_store
+from dagr_tpu.models.dagr import DAGR
+from dagr_tpu.streaming.engine import StreamingDetector, chunk_events
+
+W, H = 64, 48
+CFG = DagrConfig(
+    n_nodes=512, max_neighbors=8, batch_size=1, node_chunk=512, radius=0.05,
+)
+
+
+def setup_model(cfg=CFG, n_valid=400, seed=0):
+    model = DAGR(cfg, height=H, width=W)
+    rng = np.random.default_rng(seed)
+    ev = random_events(rng, 1, cfg.n_nodes, width=W, height=H, n_valid=n_valid)
+    variables = model.init(jax.random.key(0), ev, train=False)
+    return model, variables, ev
+
+
+def test_search_matches_batch_builder():
+    """One-chunk incremental search == full batch graph build."""
+    rng = np.random.default_rng(3)
+    n = 300
+    pos = np.zeros((1, n, 3), np.int32)
+    pos[0, :, 0] = rng.integers(0, 16, n)
+    pos[0, :, 1] = rng.integers(0, 12, n)
+    pos[0, :, 2] = np.sort(rng.integers(0, 10_000, n))
+    mask = np.ones((1, n), bool)
+    kw = dict(width=16, height=12, radius=2, delta_t_us=2_000,
+              max_neighbors=6, queue_size=8)
+    g = build_graph(pos, mask, **kw)
+
+    idx = np.arange(n, dtype=np.int32)
+    nbr, m = search_edges_into_store(
+        pos[0, :, 0], pos[0, :, 1], pos[0, :, 2], mask[0],
+        pos[0, :, 0], pos[0, :, 1], pos[0, :, 2], idx, mask[0], **kw)
+    np.testing.assert_array_equal(np.asarray(m), np.asarray(g.nbr_mask[0, :, 1:]))
+    mm = np.asarray(m)
+    np.testing.assert_array_equal(
+        np.asarray(nbr)[mm], np.asarray(g.nbr[0, :, 1:])[mm])
+
+
+@pytest.mark.parametrize("chunk", [64, 512])
+def test_streaming_matches_sync(chunk):
+    model, variables, ev = setup_model()
+    raw_sync = np.asarray(model.apply(variables, ev, train=False))
+
+    eng = StreamingDetector(CFG, H, W, chunk=chunk)
+    state = eng.init_state()
+    step = eng.make_step(variables["params"], variables["batch_stats"])
+
+    pos_px = np.asarray(ev.pos_px()[0])
+    nv = int(np.asarray(ev.mask[0]).sum())
+    feat = np.asarray(ev.feat[0])
+    raw = None
+    for p, f, v in chunk_events(pos_px[:nv], feat[:nv], chunk):
+        state, raw, flops = step(state, p, f, v)
+
+    raw = np.asarray(raw)
+    diff = np.abs(raw - raw_sync).max()
+    assert diff < 1e-3, f"sync<->streaming max diff {diff}"
+    # our design should be much tighter than the reference's 1e-3
+    assert diff < 1e-4, diff
+
+
+def test_streaming_single_event_updates():
+    """Per-event path (chunk=1): feeding events one by one must match
+    sync on the accumulated set — the evaluate_flops protocol
+    (reference: evaluate_flops.py:82-165 with split at -1)."""
+    cfg = CFG.replace(n_nodes=64)
+    model, variables, ev = setup_model(cfg, n_valid=40)
+    eng = StreamingDetector(cfg, H, W, chunk=1)
+    state = eng.init_state()
+    step = eng.make_step(variables["params"], variables["batch_stats"])
+
+    pos_px = np.asarray(ev.pos_px()[0])
+    feat = np.asarray(ev.feat[0])
+    for i in range(40):
+        state, raw, flops = step(
+            state, pos_px[i:i + 1], feat[i:i + 1], np.ones(1, bool))
+
+    raw_sync = np.asarray(model.apply(variables, ev, train=False))
+    assert np.abs(np.asarray(raw) - raw_sync).max() < 1e-4
+    assert int(state.num) == 40
+
+
+def test_flops_accounting_sparse():
+    """Per-chunk sparse-equivalent FLOPs must be far below the full
+    sync cost once the stream is warm."""
+    model, variables, ev = setup_model()
+    eng = StreamingDetector(CFG, H, W, chunk=16)
+    state = eng.init_state()
+    step = eng.make_step(variables["params"], variables["batch_stats"])
+
+    pos_px = np.asarray(ev.pos_px()[0])
+    feat = np.asarray(ev.feat[0])
+    totals = []
+    for p, f, v in chunk_events(pos_px[:400], feat[:400], 16):
+        state, raw, flops = step(state, p, f, v)
+        totals.append(int(flops["total"]))
+    # sync-equivalent: all 400 events at once
+    eng2 = StreamingDetector(CFG, H, W, chunk=512)
+    state2 = eng2.init_state()
+    step2 = eng2.make_step(variables["params"], variables["batch_stats"])
+    for p, f, v in chunk_events(pos_px[:400], feat[:400], 512):
+        state2, _, flops_full = step2(state2, p, f, v)
+    # toy 64x48 geometry: the pooled grids are tiny so dilation covers
+    # much of them; still the chunk cost must be well below full cost,
+    # and the event-level term must scale with the chunk (16 vs 400)
+    assert totals[-1] < int(flops_full["total"]) / 2
+    assert all(t > 0 for t in totals)
+    assert int(flops["conv_block1.conv_block1"]) < \
+        int(flops_full["conv_block1.conv_block1"]) / 10
