@@ -47,25 +47,63 @@ class DAGR(nn.Module):
             height=self.height,
             width=self.width,
         )
+        if self.cfg.use_image:
+            from dagr_tpu.models.cnn import CNNFeatures, CNNHead
+
+            self.cnn = CNNFeatures(
+                arch=self.cfg.img_net,
+                feature_channels=tuple(self.cfg.channels()[1:]),
+                output_channels=(256, 256),
+            )
+            self.cnn_head = CNNHead(
+                num_classes=self.cfg.num_classes,
+                width=self.cfg.yolo_stem_width,
+                num_scales=self.cfg.num_scales,
+            )
 
     def __call__(
         self,
         events: EventBatch,
         image: Optional[jnp.ndarray] = None,
         train: bool = False,
-    ) -> jnp.ndarray:
-        """Returns raw head outputs [B, A, 5 + num_classes] (logits)."""
-        image_feat = None
-        cnn_outs = None
-        if self.cfg.use_image and image is not None:
-            image_feat, cnn_outs = self.cnn_branch(image, train)
-        outs = self.backbone(events, image_feat=image_feat, train=train)
-        return self.head(outs, cnn_outs=cnn_outs, train=train)
+    ):
+        """Returns raw head outputs [B, A, 5 + num_classes] (logits);
+        with image fusion, returns (hybrid_raw, image_raw)
+        (reference: dagr.py:192-290 — the CNN branch's logits are added
+        detached to the event branch, and reported separately so the
+        image network also learns on its own)."""
+        if not (self.cfg.use_image and image is not None):
+            outs = self.backbone(events, train=train)
+            return self.head(outs, train=train)
 
-    def cnn_branch(self, image, train):
-        raise NotImplementedError(
-            "image fusion lands with models/cnn.py (build plan stage 5)"
-        )
+        feats, cnn_outputs = self.cnn(image, train=train)
+        # fusion consumes DETACHED cnn activations (net.py:118,
+        # dagr.py:219-223); the CNN branch learns via its own loss only
+        feats_d = [jax.lax.stop_gradient(f) for f in feats]
+
+        sizes = self.cfg.grid_shapes()[-2:][-self.cfg.num_scales:]
+        resized = [
+            jax.image.resize(
+                o, (o.shape[0], ny, nx, o.shape[-1]), method="nearest"
+            )
+            for o, (ny, nx) in zip(cnn_outputs, sizes)
+        ]
+        cnn_outs = self.cnn_head(resized, train=train)
+        cnn_outs_d = [
+            tuple(jax.lax.stop_gradient(t) for t in triple)
+            for triple in cnn_outs
+        ]
+
+        outs = self.backbone(events, image_feat=feats_d, train=train)
+        hybrid_raw = self.head(outs, cnn_outs=cnn_outs_d, train=train)
+
+        raws = []
+        for (cls_o, reg_o, obj_o) in cnn_outs:
+            B = cls_o.shape[0]
+            out = jnp.concatenate([reg_o, obj_o, cls_o], axis=-1)
+            raws.append(out.reshape(B, -1, out.shape[-1]))
+        image_raw = jnp.concatenate(raws, axis=1)
+        return hybrid_raw, image_raw
 
 
 def anchor_geometry(
@@ -86,6 +124,26 @@ def detection_loss(
         raw, jnp.asarray(grids), jnp.asarray(strides), targets,
         num_classes=cfg.num_classes,
     )
+
+
+def detection_loss_fusion(
+    hybrid_raw: jnp.ndarray,
+    image_raw: jnp.ndarray,
+    targets: jnp.ndarray,      # boxes at t1 (event window end)
+    targets0: jnp.ndarray,     # boxes at t0 (image timestamp)
+    cfg: DagrConfig,
+    height: int,
+    pretrain_cnn: bool = False,
+) -> Dict[str, jnp.ndarray]:
+    """Dual loss: image-only (targets0) + hybrid (targets), summed
+    component-wise (reference: dagr.py:238-271)."""
+    li = detection_loss(image_raw, targets0, cfg, height)
+    if pretrain_cnn:
+        return li
+    le = detection_loss(hybrid_raw, targets, cfg, height)
+    out = {k: li[k] + le[k] for k in li if k != "num_fg"}
+    out["num_fg"] = li["num_fg"]
+    return out
 
 
 def detect(

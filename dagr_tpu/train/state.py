@@ -124,6 +124,43 @@ def make_train_step(
     return step
 
 
+def make_train_step_fusion(
+    model: DAGR, cfg: DagrConfig, tx, height: int,
+    pretrain_cnn: bool = False,
+):
+    """Train step for event+image fusion: dual loss on (targets0,
+    targets) (reference: train path dagr.py:74-88 with use_image)."""
+    from dagr_tpu.models.dagr import detection_loss_fusion
+
+    def step(state: TrainState, events, images, targets, targets0):
+        def loss_fn(p):
+            (raw, raw_img), new_vars = model.apply(
+                {"params": p, "batch_stats": state.batch_stats},
+                events, image=images, train=True, mutable=["batch_stats"],
+            )
+            losses = detection_loss_fusion(
+                raw, raw_img, targets, targets0, cfg, height,
+                pretrain_cnn=pretrain_cnn,
+            )
+            return losses["total_loss"], (losses, new_vars["batch_stats"])
+
+        grads, (losses, bstats) = jax.grad(loss_fn, has_aux=True)(state.params)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        n = state.ema_updates + 1.0
+        d = ema_decay(n)
+        new_state = state.replace(
+            step=state.step + 1, params=params, batch_stats=bstats,
+            opt_state=opt_state,
+            ema_params=ema_update(state.ema_params, params, d),
+            ema_stats=ema_update(state.ema_stats, bstats, d),
+            ema_updates=n,
+        )
+        return new_state, losses
+
+    return step
+
+
 def make_eval_forward(model: DAGR, use_ema: bool = True):
     """Eval-mode forward on EMA weights (reference eval scripts load
     the 'ema' entry of the checkpoint, run_test.py:57-58)."""
