@@ -26,6 +26,7 @@ class Loader:
         drop_last: bool = True,
         max_gt: int = 100,
         with_images: bool = False,
+        with_bbox0: bool = False,
         seed: int = 0,
         num_workers: int = 4,
     ):
@@ -36,6 +37,7 @@ class Loader:
         self.drop_last = drop_last
         self.max_gt = max_gt
         self.with_images = with_images
+        self.with_bbox0 = with_bbox0
         self.rng = np.random.default_rng(seed)
         self.num_workers = num_workers
 
@@ -61,4 +63,5 @@ class Loader:
                 yield collate(
                     samples, self.n_nodes, self.max_gt,
                     with_images=self.with_images,
+                    with_bbox0=self.with_bbox0,
                 )

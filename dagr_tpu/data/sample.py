@@ -77,6 +77,7 @@ def collate(
     n_nodes: int,
     max_gt: int = 100,
     with_images: bool = False,
+    with_bbox0: bool = False,
 ):
     """Pad a list of samples into (EventBatch, targets [B, G, 5],
     images or None).  Keeps the LAST n_nodes events when a sample
@@ -115,4 +116,8 @@ def collate(
         width=W, height=H, time_window=T,
     )
     imgs = jnp.asarray(np.stack(images)) if with_images else None
+    if with_bbox0:
+        targets0 = np.stack(
+            [bbox_to_targets(s.bbox0, max_gt) for s in samples])
+        return batch, jnp.asarray(targets), imgs, jnp.asarray(targets0)
     return batch, jnp.asarray(targets), imgs

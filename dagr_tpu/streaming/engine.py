@@ -74,7 +74,7 @@ class StreamingDetector:
                  chunk: Optional[int] = None):
         self.cfg = cfg
         self.height, self.width = height, width
-        self.chunk = chunk or cfg.stream_chunk
+        self.chunk = min(chunk or cfg.stream_chunk, cfg.n_nodes)
         self.capacity = cfg.n_nodes
         ch = cfg.channels()
         self.c1 = ch[1]

@@ -1,0 +1,95 @@
+"""Asynchronous per-event FLOP census.
+
+CLI mirror of the reference scripts/count_flops.py:19-70 /
+asynchronous/evaluate_flops.py:82-165: for each sample, initialize the
+streaming engine with all-but-the-last event, feed the last event, and
+record the per-layer sparse-equivalent FLOPs of that single-event
+update (running mean over the dataset).  --check_consistency compares
+streaming vs sync outputs (tolerance 1e-3, evaluate_flops.py:139-146).
+"""
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).parent.parent))
+
+import argparse
+import json
+
+import jax
+import numpy as np
+
+from dagr_tpu.config import add_config_flags, config_from_yaml, DagrConfig
+from dagr_tpu.data.augment import Augmentations
+from dagr_tpu.data.dsec import DSEC
+from dagr_tpu.data.loader import Loader
+from dagr_tpu.eval.buffers import DictBuffer
+from dagr_tpu.models.dagr import DAGR
+from dagr_tpu.streaming.engine import StreamingDetector, chunk_events
+from dagr_tpu.train.checkpoint import Checkpointer
+from dagr_tpu.train.state import init_state, make_optimizer
+
+
+def main():
+    parser = argparse.ArgumentParser("count_flops")
+    parser.add_argument("--config", type=Path, default=None)
+    parser.add_argument("--check_consistency", action="store_true")
+    parser.add_argument("--num_samples", type=int, default=100)
+    add_config_flags(parser)
+    args = parser.parse_args()
+    overrides = {k: v for k, v in vars(args).items()
+                 if k not in ("config", "check_consistency", "num_samples")}
+    cfg = (config_from_yaml(args.config, **overrides)
+           if args.config else DagrConfig(**overrides))
+
+    np.random.seed(42)
+    ds = DSEC(Path(cfg.dataset_directory), "test",
+              transform=Augmentations.testing(),
+              min_bbox_diag=15, min_bbox_height=10)
+    H, W = ds.height, ds.width
+    model = DAGR(cfg, height=H, width=W)
+    tx, _ = make_optimizer(cfg, num_iters_per_epoch=1)
+    sample = next(iter(Loader(ds, 1, cfg.n_nodes)))
+    state0 = init_state(model, cfg, tx, jax.random.key(0), sample[0])
+    if cfg.checkpoint:
+        ckpt = Checkpointer(Path(cfg.checkpoint).parent)
+        restored, _ = ckpt.restore_if_existing(state0, best=True)
+        if restored is not None:
+            state0 = restored
+    variables = {"params": state0.ema_params, "batch_stats": state0.ema_stats}
+
+    fill_chunk = min(1024, cfg.n_nodes)
+    eng_fill = StreamingDetector(cfg, H, W, chunk=fill_chunk)
+    eng_one = StreamingDetector(cfg, H, W, chunk=1)
+    fill = eng_fill.make_step(variables["params"], variables["batch_stats"])
+    one = eng_one.make_step(variables["params"], variables["batch_stats"])
+
+    buf = DictBuffer()
+    for i in range(min(args.num_samples, len(ds))):
+        s = ds[i]
+        n = min(s.num_events, cfg.n_nodes)
+        pos_px = np.stack([s.x[-n:], s.y[-n:], s.t[-n:]], 1).astype(np.int32)
+        feat = s.p[-n:].reshape(-1, 1).astype(np.float32)
+        st = eng_fill.init_state()
+        for c in chunk_events(pos_px[:-1], feat[:-1], fill_chunk):
+            st, raw, _ = fill(st, *c)
+        st, raw, flops = one(st, pos_px[-1:], feat[-1:], np.ones(1, bool))
+        buf.update({k: int(v) for k, v in flops.items()})
+
+        if args.check_consistency:
+            from dagr_tpu.data.sample import collate
+
+            batch, _, _ = collate([s], cfg.n_nodes)
+            raw_sync = model.apply(variables, batch, train=False)
+            diff = float(np.abs(np.asarray(raw) - np.asarray(raw_sync)).max())
+            status = "OK" if diff < 1e-3 else "MISMATCH"
+            print(f"sample {i}: sync<->streaming max diff {diff:.2e} {status}")
+
+    means = buf.compute()
+    print(json.dumps(means, indent=2))
+    out = Path(cfg.output_directory)
+    out.mkdir(parents=True, exist_ok=True)
+    (out / "flops_per_layer.json").write_text(json.dumps(means, indent=2))
+
+
+if __name__ == "__main__":
+    main()
