@@ -160,9 +160,14 @@ class RandomZoom:
 
         if self.subsample and zoom < 1:
             count = np.zeros((H + 1, W + 1), np.float32)
-            keep, xs, ys = _subsample(
-                s.x.astype(np.float64), s.y.astype(np.float64), s.p.reshape(-1),
-                count, threshold=1.0 / zoom ** 2,
+            try:
+                from dagr_tpu.native import subsample_zoom as _sub
+            except Exception:
+                _sub = _subsample
+            keep, xs, ys = _sub(
+                s.x.astype(np.float64), s.y.astype(np.float64),
+                s.p.reshape(-1).astype(np.float32),
+                count, 1.0 / zoom ** 2,
             )
             s.x = xs[keep].astype(np.int16)
             s.y = ys[keep].astype(np.int16)
