@@ -6,8 +6,10 @@ north-star target (BASELINE.json); >1.0 beats it.
 
 Protocol mirrors the reference's sync eval path
 (reference: scripts/run_test.py — forward on a full event window, then
-decode + NMS), with the graph build included in the timed region since
-the reference's CUDA graph build also runs per window.
+decode + NMS), graph build included.  Measurement notes: the axon
+runtime memoizes repeated identical executions, so the loop feeds a
+DIFFERENT event window each iteration and chains a data dependency
+between steps — timings are true steady-state device time.
 """
 import json
 import time
@@ -17,6 +19,7 @@ import numpy as np
 
 def main():
     import jax
+    import jax.numpy as jnp
 
     from dagr_tpu.config import DagrConfig
     from dagr_tpu.data.synthetic import random_events
@@ -27,36 +30,43 @@ def main():
     NV = 45_000
     model = DAGR(cfg, height=H, width=W)
     rng = np.random.default_rng(0)
-    ev = random_events(rng, 1, cfg.n_nodes, width=W, height=H, n_valid=NV)
-    variables = model.init(jax.random.key(0), ev, train=False)
+    windows = [
+        jax.device_put(random_events(rng, 1, cfg.n_nodes, width=W, height=H,
+                                     n_valid=NV))
+        for _ in range(8)
+    ]
+    variables = jax.device_put(
+        model.init(jax.random.key(0), windows[0], train=False))
 
     @jax.jit
     def pipeline(variables, events):
         raw = model.apply(variables, events, train=False)
         return detect(raw, cfg, H, W)
 
-    ev = jax.device_put(ev)
-    variables = jax.device_put(variables)
-
     # warmup / compile
-    jax.block_until_ready(pipeline(variables, ev))
+    out = pipeline(variables, windows[0])
+    jax.block_until_ready(out)
 
-    iters = 50
+    iters = 24
+    carry = jnp.zeros(())
     t0 = time.perf_counter()
-    for _ in range(iters):
-        out = pipeline(variables, ev)
+    for i in range(iters):
+        w = windows[1 + i % (len(windows) - 1)]
+        w = w.replace(feat=w.feat + carry * 0)   # chain dependency
+        out = pipeline(variables, w)
+        carry = out["scores"][0, 0]
     jax.block_until_ready(out)
     dt = (time.perf_counter() - t0) / iters
 
     mev_s = NV / dt / 1e6
     print(json.dumps({
         "metric": "sync_inference_throughput",
-        "value": round(mev_s, 2),
+        "value": round(mev_s, 3),
         "unit": "Mevents/s/chip",
-        "vs_baseline": round(mev_s / 10.0, 2),
+        "vs_baseline": round(mev_s / 10.0, 3),
         "detail": {
             "window_events": NV,
-            "steady_ms_per_window": round(dt * 1e3, 3),
+            "steady_ms_per_window": round(dt * 1e3, 2),
             "model": "dagr-s events-only, 320x240, incl. graph build + NMS",
         },
     }))

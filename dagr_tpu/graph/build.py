@@ -2,23 +2,25 @@
 
 Replaces the reference's per-pixel FIFO + spiral-scan CUDA kernels
 (reference: src/dagr/graph/ev_graph.cu:15-128, graph/utils.py:6-23)
-with a sort-and-binary-search formulation that XLA compiles to fixed
-shapes:
+with a single-shot sort-merge join:
 
 1.  Events are stably sorted by linearized pixel id; within one pixel
-    the stable sort preserves the time/index order the CUDA queue would
-    have, so "the newest <=Q events at pixel p that are older than event
-    i and within delta_t" is a *contiguous run* of the sorted array,
-    found with binary searches (segment bounds via searchsorted, then a
-    vectorized in-segment bisection — all int32, no x64 needed).
-2.  The spiral pixel order (reference: src/dagr/graph/spiral.h) becomes
-    a static list of S=(2r+1)^2 offsets; per (event, cell) candidate
-    counts are cumulated and the first K-1 candidates in (spiral order,
-    recency) are selected — bit-identical neighbor selection to the
-    CUDA kernel's tie-breaking.
+    the stable sort preserves time order, so "the newest <=Q events at
+    pixel p older than event i and within delta_t" is a contiguous run
+    of the sorted array.
+2.  The run bounds for every (event, spiral-cell) candidate are
+    obtained by ONE multi-key sort of data records + count queries
+    (a lex merge join) plus cumulative sums — no per-query binary
+    search.  The spiral pixel order (reference: src/dagr/graph/spiral.h)
+    is a static list of S=(2r+1)^2 offsets; the first K-1 candidates in
+    (spiral order, recency) are selected with a tiny bisect over the
+    per-event cumulative counts — bit-identical neighbor selection to
+    the CUDA kernel's tie-breaking.
 
-The search runs in event chunks under ``lax.map`` so peak memory is
-O(chunk * S) regardless of N.
+The formulation is tuned to the accelerator's cost model: sorts,
+cumsums, elementwise and take_along_axis are fast; per-row gathers and
+long sequential op chains (lax.map / searchsorted) are catastrophically
+slow, so everything is a handful of large fused array ops.
 """
 from __future__ import annotations
 
@@ -32,20 +34,47 @@ from dagr_tpu.core.types import EventGraph
 from dagr_tpu.graph.reference import spiral_offsets
 
 
-def _seg_lower_bound(arr: jnp.ndarray, lo, hi, val, iters: int):
-    """First index p in [lo, hi) with arr[p] >= val (arr ascending on the
-    segment).  lo/hi/val may be any broadcastable int32 shape."""
-    n = arr.shape[0]
+def _take(a: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """Flat scalar gather via take_along_axis (fast path on axon)."""
+    shape = idx.shape
+    out = jnp.take_along_axis(
+        a.reshape(1, -1), idx.reshape(1, -1), axis=1)
+    return out.reshape(shape)
+
+
+def _select_first_k(cnt, hi, order, K, M):
+    """Pick the first K-1 candidates in (spiral order, recency)
+    priority.  cnt, hi: [M, S]; returns (src [M, K-1], valid)."""
+    S = cnt.shape[1]
+    cum = jnp.cumsum(cnt, axis=-1)                       # [M, S]
+    slots = jnp.arange(K - 1, dtype=jnp.int32)           # [K-1]
+    k_b = jnp.broadcast_to(slots[None], (cnt.shape[0], K - 1))
+
+    # first spiral cell where cum > k: bisect over the (ascending) row
+    lo = jnp.zeros_like(k_b)
+    hi_b = jnp.full_like(k_b, S)
 
     def body(_, lh):
-        lo, hi = lh
-        mid = (lo + hi) // 2
-        v = arr[jnp.clip(mid, 0, n - 1)]
-        go_right = (v < val) & (lo < hi)
-        return jnp.where(go_right, mid + 1, lo), jnp.where(go_right, hi, mid)
+        lo, hi_ = lh
+        mid = (lo + hi_) // 2
+        v = jnp.take_along_axis(cum, jnp.clip(mid, 0, S - 1), axis=1)
+        go = (v <= k_b) & (lo < hi_)
+        return jnp.where(go, mid + 1, lo), jnp.where(go, hi_, mid)
 
-    lo, hi = jax.lax.fori_loop(0, iters, body, (lo, hi))
-    return lo
+    iters = int(np.ceil(np.log2(S))) + 1
+    s_sel, _ = jax.lax.fori_loop(0, iters, body, (lo, hi_b))
+    any_hit = cum[:, -1:] > k_b
+
+    cum_prev = jnp.where(
+        s_sel > 0,
+        jnp.take_along_axis(cum, jnp.clip(s_sel - 1, 0, S - 1), axis=1),
+        0,
+    )
+    within = k_b - cum_prev
+    hi_sel = jnp.take_along_axis(hi, jnp.clip(s_sel, 0, S - 1), axis=1)
+    sorted_pos = jnp.clip(hi_sel - 1 - within, 0, M - 1)
+    src_flat = _take(order, sorted_pos)
+    return src_flat, any_hit
 
 
 @functools.partial(
@@ -65,96 +94,110 @@ def build_graph(
     delta_t_us: int,
     max_neighbors: int,
     queue_size: int = 128,
-    chunk: int = 2048,
+    chunk: int = 0,        # kept for API compatibility; unused
 ) -> EventGraph:
     B, N, _ = pos_px.shape
     K = max_neighbors
     HW = height * width
     assert B * HW < 2**31 - 1, "pixel id must fit int32"
-    PAD_LIN = np.int32(B * HW)  # sentinel pixel id for padding events
+    PAD = np.int32(B * HW)
     M = B * N
-    ITERS = int(np.ceil(np.log2(max(M, 2)))) + 1
-
     offs = np.array(spiral_offsets(radius), dtype=np.int32)  # [S, 2] (dx, dy)
+    S = offs.shape[0]
 
     x = pos_px[..., 0].astype(jnp.int32)
     y = pos_px[..., 1].astype(jnp.int32)
+    t = pos_px[..., 2].astype(jnp.int32)
 
     b_ids = jnp.arange(B, dtype=jnp.int32)[:, None]
-    lin = jnp.where(mask, b_ids * HW + y * width + x, PAD_LIN)  # [B, N]
+    lin = jnp.where(mask, b_ids * HW + y * width + x, PAD)   # [B, N]
+    lin_f = lin.reshape(M)
 
-    lin_f = lin.reshape(-1)
+    # stable sort by pixel: within a pixel, slot order == time order
     order = jnp.argsort(lin_f, stable=True).astype(jnp.int32)   # [M]
-    s_lin = lin_f[order]
-    s_within = (order % N).astype(jnp.int32)   # within-sample index, ascending per segment
-    s_t = pos_px[..., 2].reshape(-1)[order]    # ascending per segment (time-sorted input)
 
-    def search_chunk(args):
-        """args: (xq, yq, tq, iq, bq, mq) each [C] for one chunk of
-        destination events.  Returns (nbr [C, K-1], mask [C, K-1])."""
-        xq, yq, tq, iq, bq, mq = args
-        C = xq.shape[0]
+    # per-pixel segment ENDS (cumulative histogram)
+    hist = jnp.zeros(B * HW + 1, jnp.int32).at[lin_f].add(
+        mask.reshape(M).astype(jnp.int32))
+    seg_end_table = jnp.cumsum(hist[:-1], dtype=jnp.int32)      # [B*HW]
 
-        xn = xq[:, None] + offs[None, :, 0]          # [C, S]
-        yn = yq[:, None] + offs[None, :, 1]
-        inb = (xn >= 0) & (xn < width) & (yn >= 0) & (yn < height) & mq[:, None]
+    # global dt-threshold slot per event: first within-sample slot with
+    # t >= t_e - delta_t (times ascending per sample) via bisect.
+    # invalid tail times -> +inf so the bisected array is monotone
+    tq = t - delta_t_us
+    t_mono = jnp.where(mask, t, np.int32(2**31 - 1))
 
-        p = bq[:, None] * HW + yn * width + xn
-        p = jnp.where(inb, p, PAD_LIN)
+    def tbody(_, lh):
+        lo, hi = lh
+        mid = (lo + hi) // 2
+        v = jnp.take_along_axis(t_mono, jnp.clip(mid, 0, N - 1), axis=1)
+        go = (v < tq) & (lo < hi)
+        return jnp.where(go, mid + 1, lo), jnp.where(go, hi, mid)
 
-        g_lo = jnp.searchsorted(s_lin, p, side="left").astype(jnp.int32)
-        g_hi = jnp.searchsorted(s_lin, p, side="right").astype(jnp.int32)
-        # first in-segment position with within-index >= i  (idx < i run end)
-        pos_i = _seg_lower_bound(s_within, g_lo, g_hi, iq[:, None], ITERS)
-        # first in-segment position with t >= t_i - delta_t
-        t_lo = _seg_lower_bound(s_t, g_lo, g_hi, tq[:, None] - delta_t_us, ITERS)
-
-        lo = jnp.maximum(jnp.maximum(g_lo, g_hi - queue_size), t_lo)
-        hi = pos_i
-        cnt = jnp.where(inb, jnp.maximum(hi - lo, 0), 0)              # [C, S]
-
-        cum = jnp.cumsum(cnt, axis=-1)                                # [C, S]
-        slots = jnp.arange(K - 1, dtype=jnp.int32)                    # [K-1]
-        # first spiral cell where the cumulative count exceeds the slot id
-        hit = cum[:, None, :] > slots[None, :, None]                  # [C, K-1, S]
-        s_sel = jnp.argmax(hit, axis=-1).astype(jnp.int32)            # [C, K-1]
-        any_hit = jnp.any(hit, axis=-1)
-
-        cum_prev = jnp.concatenate(
-            [jnp.zeros((C, 1), cum.dtype), cum[:, :-1]], axis=-1
-        )
-        within_cell = slots[None, :] - jnp.take_along_axis(cum_prev, s_sel, axis=1)
-        hi_sel = jnp.take_along_axis(hi, s_sel, axis=1)
-        sorted_pos = jnp.clip(hi_sel - 1 - within_cell, 0, M - 1)     # [C, K-1]
-
-        flat_src = order[sorted_pos]
-        src = flat_src - bq[:, None] * N
-        valid = any_hit & mq[:, None]
-        return jnp.where(valid, src, 0).astype(jnp.int32), valid
-
-    flat_i = jnp.tile(jnp.arange(N, dtype=jnp.int32)[None], (B, 1)).reshape(-1)
-    flat_b = jnp.repeat(jnp.arange(B, dtype=jnp.int32), N)
-
-    pad_to = ((M + chunk - 1) // chunk) * chunk
-    pad = pad_to - M
-
-    def padded(a, fill=0):
-        return jnp.pad(a, (0, pad), constant_values=fill).reshape(-1, chunk)
-
-    args = (
-        padded(x.reshape(-1)), padded(y.reshape(-1)),
-        padded(pos_px[..., 2].reshape(-1)),
-        padded(flat_i), padded(flat_b), padded(mask.reshape(-1), False),
+    iters_t = int(np.ceil(np.log2(max(N, 2)))) + 1
+    s_dt, _ = jax.lax.fori_loop(
+        0, iters_t,
+        tbody,
+        (jnp.zeros((B, N), jnp.int32), jnp.full((B, N), N, jnp.int32)),
     )
+    s_dt_flat = (s_dt + jnp.arange(B, dtype=jnp.int32)[:, None] * N).reshape(M)
 
-    nbr_rest, mask_rest = jax.lax.map(search_chunk, args)
-    nbr_rest = nbr_rest.reshape(pad_to, K - 1)[:M].reshape(B, N, K - 1)
-    mask_rest = mask_rest.reshape(pad_to, K - 1)[:M].reshape(B, N, K - 1)
+    # candidate pixels: [M, S]
+    xn = x.reshape(M)[:, None] + offs[None, :, 0]
+    yn = y.reshape(M)[:, None] + offs[None, :, 1]
+    inb = (
+        (xn >= 0) & (xn < width) & (yn >= 0) & (yn < height)
+        & mask.reshape(M)[:, None]
+    )
+    bq = jnp.repeat(jnp.arange(B, dtype=jnp.int32), N)[:, None]
+    qpix = jnp.where(inb, bq * HW + yn * width + xn, PAD)       # [M, S]
+
+    # ---- lex merge join: count data records < (pixel, slot) ----------
+    # records: data (pixel=lin, slot=flat index) and two query streams
+    # (slot = own flat index -> hi bound; slot = dt threshold -> t bound)
+    e_flat = jnp.arange(M, dtype=jnp.int32)
+    d_pix = lin_f
+    d_slot = e_flat
+    q1_pix = qpix.reshape(-1)                                   # [M*S]
+    q1_slot = jnp.repeat(e_flat, S)
+    q2_pix = q1_pix
+    q2_slot = jnp.repeat(s_dt_flat, S)
+
+    pix_all = jnp.concatenate([d_pix, q1_pix, q2_pix])
+    # tie-break: queries (slot2 even) sort BEFORE data (slot2 odd) at
+    # equal (pixel, slot) -> strict "data < query" counting
+    slot_all = jnp.concatenate([
+        d_slot * 2 + 1, q1_slot * 2, q2_slot * 2,
+    ])
+    payload = jnp.arange(pix_all.shape[0], dtype=jnp.int32)
+    _, slot_s, pay_s = jax.lax.sort(
+        (pix_all, slot_all, payload), num_keys=2)
+    is_data = (slot_s & 1).astype(jnp.int32)
+    prefix_data = jnp.cumsum(is_data, dtype=jnp.int32) - is_data
+    # unsort via kv sort on payload (scatter is slower on this backend)
+    _, counts = jax.lax.sort((pay_s, prefix_data), num_keys=1)
+
+    cnt_hi = counts[M:M + M * S].reshape(M, S)                  # pos_i
+    cnt_t = counts[M + M * S:].reshape(M, S)                    # t low bound
+
+    g_hi = _take(seg_end_table, jnp.clip(qpix, 0, B * HW - 1))
+    g_hi = jnp.where(inb, g_hi, 0)
+
+    lo = jnp.maximum(g_hi - queue_size, cnt_t)
+    cnt = jnp.where(inb, jnp.maximum(cnt_hi - lo, 0), 0)        # [M, S]
+
+    src_flat, any_hit = _select_first_k(cnt, cnt_hi, order, K, M)
+    src = src_flat - jnp.repeat(
+        jnp.arange(B, dtype=jnp.int32) * N, N)[:, None]
+    valid = any_hit & mask.reshape(M)[:, None]
+
+    nbr_rest = jnp.where(valid, src, 0).reshape(B, N, K - 1)
+    mask_rest = valid.reshape(B, N, K - 1)
 
     self_idx = jnp.tile(jnp.arange(N, dtype=jnp.int32)[None, :, None], (B, 1, 1))
     nbr = jnp.concatenate([self_idx, nbr_rest], axis=-1)
     nbr_mask = jnp.concatenate([mask[..., None], mask_rest], axis=-1)
-    return EventGraph(nbr=nbr, nbr_mask=nbr_mask)
+    return EventGraph(nbr=nbr.astype(jnp.int32), nbr_mask=nbr_mask)
 
 
 @functools.partial(
@@ -184,65 +227,74 @@ def search_edges_into_store(
 ):
     """Edge search for a chunk of new events against the full event
     store — the streaming-engine counterpart of the per-event CUDA path
-    (reference: graph/ev_graph.py:62-103 forward with collect_edges,
-    ev_graph.cu:130-166 single-event insertion + :15-128 search).
-
-    The store must already contain the queries (insert-then-search,
-    like the reference).  Returns (nbr [C, K-1], mask [C, K-1]) of
-    non-self edges in (spiral order, recency) priority; combine with the
-    self edge at slot 0 like build_graph does.
+    (reference: graph/ev_graph.py:62-103, ev_graph.cu:130-166,15-128).
+    The store must already contain the queries (insert-then-search).
+    Same sort-merge formulation as build_graph.  Returns
+    (nbr [C, K-1], mask [C, K-1]) of non-self edges.
     """
     N = store_x.shape[0]
-    K = max_neighbors
-    ITERS = int(np.ceil(np.log2(max(N, 2)))) + 1
-    PAD_LIN = np.int32(height * width)
-    offs = np.array(spiral_offsets(radius), dtype=np.int32)
-
-    lin = jnp.where(store_valid, store_y * width + store_x, PAD_LIN)
-    order = jnp.argsort(lin, stable=True).astype(jnp.int32)
-    s_lin = lin[order]
-    s_within = order                     # slot index == temporal order
-    s_t = store_t[order]
-
-    xn = q_x[:, None] + offs[None, :, 0]                     # [C, S]
-    yn = q_y[:, None] + offs[None, :, 1]
-    inb = (xn >= 0) & (xn < width) & (yn >= 0) & (yn < height) & q_valid[:, None]
-    p = jnp.where(inb, yn * width + xn, PAD_LIN)
-
-    g_lo = jnp.searchsorted(s_lin, p, side="left").astype(jnp.int32)
-    g_hi = jnp.searchsorted(s_lin, p, side="right").astype(jnp.int32)
-    pos_i = _seg_lower_bound(s_within, g_lo, g_hi, q_idx[:, None], ITERS)
-    t_lo = _seg_lower_bound(s_t, g_lo, g_hi, q_t[:, None] - delta_t_us, ITERS)
-
-    lo = jnp.maximum(jnp.maximum(g_lo, g_hi - queue_size), t_lo)
-    hi = pos_i
-    cnt = jnp.where(inb, jnp.maximum(hi - lo, 0), 0)
-
     C = q_x.shape[0]
-    cum = jnp.cumsum(cnt, axis=-1)
-    slots = jnp.arange(K - 1, dtype=jnp.int32)
-    hit = cum[:, None, :] > slots[None, :, None]
-    s_sel = jnp.argmax(hit, axis=-1).astype(jnp.int32)
-    any_hit = jnp.any(hit, axis=-1)
-    cum_prev = jnp.concatenate([jnp.zeros((C, 1), cum.dtype), cum[:, :-1]], axis=-1)
-    within_cell = slots[None, :] - jnp.take_along_axis(cum_prev, s_sel, axis=1)
-    hi_sel = jnp.take_along_axis(hi, s_sel, axis=1)
-    sorted_pos = jnp.clip(hi_sel - 1 - within_cell, 0, N - 1)
-    src = order[sorted_pos]
+    K = max_neighbors
+    HW = height * width
+    PAD = np.int32(HW)
+    offs = np.array(spiral_offsets(radius), dtype=np.int32)
+    S = offs.shape[0]
+
+    lin = jnp.where(store_valid, store_y * width + store_x, PAD)
+    order = jnp.argsort(lin, stable=True).astype(jnp.int32)
+
+    hist = jnp.zeros(HW + 1, jnp.int32).at[lin].add(
+        store_valid.astype(jnp.int32))
+    seg_end_table = jnp.cumsum(hist[:-1], dtype=jnp.int32)
+
+    # dt-threshold slot per query; invalid tail times -> +inf so the
+    # bisected array is monotone
+    tq = q_t - delta_t_us
+    t_mono = jnp.where(store_valid, store_t, np.int32(2**31 - 1))
+
+    def tbody(_, lh):
+        lo, hi = lh
+        mid = (lo + hi) // 2
+        v = _take(t_mono, jnp.clip(mid, 0, N - 1))
+        go = (v < tq) & (lo < hi)
+        return jnp.where(go, mid + 1, lo), jnp.where(go, hi, mid)
+
+    iters_t = int(np.ceil(np.log2(max(N, 2)))) + 1
+    s_dt, _ = jax.lax.fori_loop(
+        0, iters_t,
+        tbody,
+        (jnp.zeros((C,), jnp.int32), jnp.full((C,), N, jnp.int32)),
+    )
+
+    xn = q_x[:, None] + offs[None, :, 0]
+    yn = q_y[:, None] + offs[None, :, 1]
+    inb = (
+        (xn >= 0) & (xn < width) & (yn >= 0) & (yn < height)
+        & q_valid[:, None]
+    )
+    qpix = jnp.where(inb, yn * width + xn, PAD)                # [C, S]
+
+    pix_all = jnp.concatenate([
+        lin, qpix.reshape(-1), qpix.reshape(-1)])
+    slot_all = jnp.concatenate([
+        jnp.arange(N, dtype=jnp.int32) * 2 + 1,
+        jnp.repeat(q_idx, S) * 2,
+        jnp.repeat(s_dt, S) * 2,
+    ])
+    payload = jnp.arange(pix_all.shape[0], dtype=jnp.int32)
+    _, slot_s, pay_s = jax.lax.sort((pix_all, slot_all, payload), num_keys=2)
+    is_data = (slot_s & 1).astype(jnp.int32)
+    prefix = jnp.cumsum(is_data, dtype=jnp.int32) - is_data
+    _, counts = jax.lax.sort((pay_s, prefix), num_keys=1)
+
+    cnt_hi = counts[N:N + C * S].reshape(C, S)
+    cnt_t = counts[N + C * S:].reshape(C, S)
+
+    g_hi = _take(seg_end_table, jnp.clip(qpix, 0, HW - 1))
+    g_hi = jnp.where(inb, g_hi, 0)
+    lo = jnp.maximum(g_hi - queue_size, cnt_t)
+    cnt = jnp.where(inb, jnp.maximum(cnt_hi - lo, 0), 0)
+
+    src, any_hit = _select_first_k(cnt, cnt_hi, order, K, N)
     valid = any_hit & q_valid[:, None]
     return jnp.where(valid, src, 0).astype(jnp.int32), valid
-
-
-def build_graph_from_batch(events, cfg) -> EventGraph:
-    """Convenience wrapper mirroring EV_TGN.forward
-    (reference: model/layers/ev_tgn.py:39-58)."""
-    return build_graph(
-        events.pos_px(),
-        events.mask,
-        width=events.width,
-        height=events.height,
-        radius=cfg.radius_px(events.width),
-        delta_t_us=cfg.delta_t_us(),
-        max_neighbors=cfg.max_neighbors,
-        queue_size=cfg.max_queue_size,
-    )

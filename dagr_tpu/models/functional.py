@@ -117,8 +117,9 @@ def spline_conv_gather(
     P, cin, cout = weight.shape
     N = x_table.shape[0]
     idx = jnp.clip(nbr, 0, N - 1).reshape(-1)
-    x_src = x_table[idx]                                   # [C*K, Cin]
-    pos_src = pos_table[idx, :2]
+    # take_along_axis: ~100x faster than x[idx] on the axon backend
+    x_src = jnp.take_along_axis(x_table, idx[:, None], axis=0)   # [C*K, Cin]
+    pos_src = jnp.take_along_axis(pos_table[:, :2], idx[:, None], axis=0)
     attr = (pos_src - jnp.repeat(dst_pos[:, :2], K, axis=0)) \
         / (2.0 * max_value) + 0.5
     attr = jnp.clip(attr, 0.0, 1.0)

@@ -109,9 +109,12 @@ def spline_conv(
     def chunk_fn(args):
         nbr_c, mask_c, pos_c = args            # [T, K], [T, K], [T, 2]
         T = nbr_c.shape[0]
-        idx = jnp.clip(nbr_c, 0, M - 1)
-        x_src = x_flat[idx.reshape(-1)]                       # [T*K, Cin]
-        pos_src = pos_flat[idx.reshape(-1)]                   # [T*K, 2]
+        idx = jnp.clip(nbr_c, 0, M - 1).reshape(-1)
+        # NB: row gathers formulated as take_along_axis — the axon
+        # backend executes x[idx] ~100x slower than this form
+        x_src = jnp.take_along_axis(
+            x_flat, idx[:, None], axis=0)                     # [T*K, Cin]
+        pos_src = jnp.take_along_axis(pos_flat, idx[:, None], axis=0)
         attr = (pos_src - jnp.repeat(pos_c, K, axis=0)) / (2.0 * max_value) + 0.5
         attr = jnp.clip(attr, 0.0, 1.0)
         msg = _edge_messages(x_src, attr, weight, kernel_size)  # [T*K, Cout]
