@@ -71,10 +71,11 @@ class StreamingDetector:
     """Chunked streaming inference over one event stream (batch = 1)."""
 
     def __init__(self, cfg: DagrConfig, height: int, width: int,
-                 chunk: Optional[int] = None):
+                 chunk: Optional[int] = None, count_flops: bool = True):
         self.cfg = cfg
         self.height, self.width = height, width
         self.chunk = min(chunk or cfg.stream_chunk, cfg.n_nodes)
+        self.count_flops = count_flops
         self.capacity = cfg.n_nodes
         ch = cfg.channels()
         self.c1 = ch[1]
@@ -281,33 +282,36 @@ class StreamingDetector:
         outs = []
         flops: Dict[str, jnp.ndarray] = {}
 
-        # sparse-equivalent FLOPs: event level (reference formulas,
-        # asynchronous/flops/conv.py:4-24)
-        e0 = chunk_nbr_mask.sum()
-        n0 = cv.sum()
-        cin0 = ch[0] + 2
-        flops["conv_block1.conv_block1"] = (
-            e0 * (2 * cin0 - 1) * ch[1] + n0 * ch[1] * (2 * cin0 - 1))
-        flops["conv_block1.conv_block2"] = (
-            e0 * (2 * ch[1] - 1) * ch[1] + n0 * (
-                ch[1] * (2 * ch[1] - 1)        # root
-                + ch[1] * (2 * cin0 - 1)))     # skip linear
+        if self.count_flops:
+            # sparse-equivalent FLOPs: event level (reference formulas,
+            # asynchronous/flops/conv.py:4-24)
+            e0 = chunk_nbr_mask.sum()
+            n0 = cv.sum()
+            cin0 = ch[0] + 2
+            flops["conv_block1.conv_block1"] = (
+                e0 * (2 * cin0 - 1) * ch[1] + n0 * ch[1] * (2 * cin0 - 1))
+            flops["conv_block1.conv_block2"] = (
+                e0 * (2 * ch[1] - 1) * ch[1] + n0 * (
+                    ch[1] * (2 * ch[1] - 1)        # root
+                    + ch[1] * (2 * cin0 - 1)))     # skip linear
 
         changed = touched1                     # bool [G1]
         level_names = ["layer2", "layer3", "layer4", "layer5"]
         for li, name in enumerate(level_names):
             ns = with_rel(ns)
-            # sparse-equivalent counts: 2 convs dilate the changed set
-            nbrm = ns.graph.nbr_mask[0]
-            nbrs = ns.graph.nbr[0]
-            for conv_i in range(2):
-                aff = changed | (changed[nbrs] & nbrm).any(-1)
-                e = (nbrm & aff[:, None]).sum()
-                cin = ns.feat.shape[-1] if conv_i == 0 else ch[li + 2]
-                cout = ch[li + 2]
-                f = e * (2 * cin - 1) * cout + aff.sum() * cout * (2 * cin - 1)
-                flops[f"{name}.conv_block{conv_i + 1}"] = f
-                changed = aff
+            if self.count_flops:
+                # sparse-equivalent counts: 2 convs dilate the changed set
+                nbrm = ns.graph.nbr_mask[0]
+                nbrs = ns.graph.nbr[0]
+                for conv_i in range(2):
+                    aff = changed | (changed[nbrs] & nbrm).any(-1)
+                    e = (nbrm & aff[:, None]).sum()
+                    cin = ns.feat.shape[-1] if conv_i == 0 else ch[li + 2]
+                    cout = ch[li + 2]
+                    f = e * (2 * cin - 1) * cout \
+                        + aff.sum() * cout * (2 * cin - 1)
+                    flops[f"{name}.conv_block{conv_i + 1}"] = f
+                    changed = aff
             ns = layer_eval(bb[name], sb[name], ns, self.mv[li + 1], act)
             if name == "layer4":
                 outs.append(ns)
@@ -319,13 +323,14 @@ class StreamingDetector:
                     aggr="mean" if li == 2 else cfg.pooling_aggr,
                     keep_temporal_ordering=cfg.keep_temporal_ordering,
                 )
-                # pooled changed set: parent cells of changed cells
-                ny0, nx0 = self.grids[li][0], self.grids[li][1]
-                c0 = jnp.arange(ny0 * nx0)
-                parent = (c0 % nx0) // 2 + g[1] * ((c0 // nx0) // 2)
-                changed = jax.ops.segment_max(
-                    changed.astype(jnp.int32), parent,
-                    num_segments=g[0] * g[1]) > 0
+                if self.count_flops:
+                    # pooled changed set: parent cells of changed cells
+                    ny0, nx0 = self.grids[li][0], self.grids[li][1]
+                    c0 = jnp.arange(ny0 * nx0)
+                    parent = (c0 % nx0) // 2 + g[1] * ((c0 // nx0) // 2)
+                    changed = jax.ops.segment_max(
+                        changed.astype(jnp.int32), parent,
+                        num_segments=g[0] * g[1]) > 0
         outs.append(ns)
         outs = outs[-cfg.num_scales:]
 
@@ -338,14 +343,17 @@ class StreamingDetector:
             out = jnp.concatenate([reg_o, obj_o, cls_o], axis=-1)
             raws.append(out.reshape(1, -1, out.shape[-1]))
         raw = jnp.concatenate(raws, axis=1)
-        flops["total"] = sum(jax.tree.leaves(flops))
+        flops["total"] = (
+            sum(jax.tree.leaves(flops)) if flops else jnp.zeros((), jnp.int32)
+        )
         return raw, flops
 
     # ------------------------------------------------------------------
     def make_step(self, params, batch_stats):
-        """Returns a jitted step(state, pos_px, feat, valid)."""
+        """Returns a jitted step(state, pos_px, feat, valid).  The state
+        argument is donated so the persistent tables update in place."""
 
-        @jax.jit
+        @functools.partial(jax.jit, donate_argnums=(0,))
         def _step(state, pos_px, feat, valid):
             return self.step(params, batch_stats, state, pos_px, feat, valid)
 
