@@ -25,6 +25,7 @@ slow, so everything is a handful of large fused array ops.
 from __future__ import annotations
 
 import functools
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -208,14 +209,14 @@ def build_graph(
     ),
 )
 def search_edges_into_store(
-    store_x: jnp.ndarray,     # i32 [N] store pixel x (slot order == time order)
+    store_x: jnp.ndarray,     # i32 [N] store pixel x
     store_y: jnp.ndarray,     # i32 [N]
     store_t: jnp.ndarray,     # i32 [N] timestamps (us)
     store_valid: jnp.ndarray, # bool [N]
     q_x: jnp.ndarray,         # i32 [C] query (new-event) pixel x
     q_y: jnp.ndarray,
     q_t: jnp.ndarray,
-    q_idx: jnp.ndarray,       # i32 [C] query's own slot index in the store
+    q_idx: jnp.ndarray,       # i32 [C] query's own slot / virtual id
     q_valid: jnp.ndarray,     # bool [C]
     *,
     width: int,
@@ -224,13 +225,23 @@ def search_edges_into_store(
     delta_t_us: int,
     max_neighbors: int,
     queue_size: int = 128,
+    store_vid: Optional[jnp.ndarray] = None,  # i32 [N] virtual ids
 ):
     """Edge search for a chunk of new events against the full event
     store — the streaming-engine counterpart of the per-event CUDA path
     (reference: graph/ev_graph.py:62-103, ev_graph.cu:130-166,15-128).
     The store must already contain the queries (insert-then-search).
-    Same sort-merge formulation as build_graph.  Returns
-    (nbr [C, K-1], mask [C, K-1]) of non-self edges.
+
+    ``store_vid`` supports the sliding-window ring store
+    (reference: ev_graph.py:121-136, delete_nodes): slot order then no
+    longer equals time order, so every slot carries a monotone virtual
+    event id; recency and self-exclusion compare vids.  When None,
+    slot order is the time order (append-only store) and vids are the
+    slot indices.  ``q_idx`` must be in the same id space.
+
+    One lex merge with keys (pixel, time, vid) yields both the
+    self-position and the delta-t lower bound, so no bisect over store
+    times is needed.  Returns (nbr [C, K-1] store slots, mask).
     """
     N = store_x.shape[0]
     C = q_x.shape[0]
@@ -240,31 +251,17 @@ def search_edges_into_store(
     offs = np.array(spiral_offsets(radius), dtype=np.int32)
     S = offs.shape[0]
 
+    if store_vid is None:
+        store_vid = jnp.arange(N, dtype=jnp.int32)
+
     lin = jnp.where(store_valid, store_y * width + store_x, PAD)
-    order = jnp.argsort(lin, stable=True).astype(jnp.int32)
+    # slots in (pixel, vid) order == (pixel, time) order
+    _, _, order = jax.lax.sort(
+        (lin, store_vid, jnp.arange(N, dtype=jnp.int32)), num_keys=2)
 
     hist = jnp.zeros(HW + 1, jnp.int32).at[lin].add(
         store_valid.astype(jnp.int32))
     seg_end_table = jnp.cumsum(hist[:-1], dtype=jnp.int32)
-
-    # dt-threshold slot per query; invalid tail times -> +inf so the
-    # bisected array is monotone
-    tq = q_t - delta_t_us
-    t_mono = jnp.where(store_valid, store_t, np.int32(2**31 - 1))
-
-    def tbody(_, lh):
-        lo, hi = lh
-        mid = (lo + hi) // 2
-        v = _take(t_mono, jnp.clip(mid, 0, N - 1))
-        go = (v < tq) & (lo < hi)
-        return jnp.where(go, mid + 1, lo), jnp.where(go, hi, mid)
-
-    iters_t = int(np.ceil(np.log2(max(N, 2)))) + 1
-    s_dt, _ = jax.lax.fori_loop(
-        0, iters_t,
-        tbody,
-        (jnp.zeros((C,), jnp.int32), jnp.full((C,), N, jnp.int32)),
-    )
 
     xn = q_x[:, None] + offs[None, :, 0]
     yn = q_y[:, None] + offs[None, :, 1]
@@ -274,16 +271,25 @@ def search_edges_into_store(
     )
     qpix = jnp.where(inb, yn * width + xn, PAD)                # [C, S]
 
-    pix_all = jnp.concatenate([
-        lin, qpix.reshape(-1), qpix.reshape(-1)])
-    slot_all = jnp.concatenate([
-        jnp.arange(N, dtype=jnp.int32) * 2 + 1,
+    # lex merge, keys (pixel, time, vid*2 + is_data):
+    #  - self bound:  query (qpix, t_e, vid_e*2) counts data strictly
+    #    older (vid < vid_e; time ties resolved by vid)
+    #  - dt bound:    query (qpix, t_e - dt, 0) counts data with
+    #    t < t_e - dt (dt window is inclusive, ev_graph.cu:64-66)
+    t_dead = np.int32(2**30)
+    d_t = jnp.where(store_valid, store_t, t_dead)
+    pix_all = jnp.concatenate([lin, qpix.reshape(-1), qpix.reshape(-1)])
+    t_all = jnp.concatenate([
+        d_t, jnp.repeat(q_t, S), jnp.repeat(q_t - delta_t_us, S)])
+    vid2_all = jnp.concatenate([
+        store_vid * 2 + 1,
         jnp.repeat(q_idx, S) * 2,
-        jnp.repeat(s_dt, S) * 2,
+        jnp.zeros(C * S, jnp.int32),
     ])
     payload = jnp.arange(pix_all.shape[0], dtype=jnp.int32)
-    _, slot_s, pay_s = jax.lax.sort((pix_all, slot_all, payload), num_keys=2)
-    is_data = (slot_s & 1).astype(jnp.int32)
+    _, _, vid2_s, pay_s = jax.lax.sort(
+        (pix_all, t_all, vid2_all, payload), num_keys=3)
+    is_data = (vid2_s & 1).astype(jnp.int32)
     prefix = jnp.cumsum(is_data, dtype=jnp.int32) - is_data
     _, counts = jax.lax.sort((pay_s, prefix), num_keys=1)
 

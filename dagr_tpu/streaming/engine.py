@@ -52,15 +52,20 @@ from dagr_tpu.ops.pool import pool_nodeset
 
 @struct.dataclass
 class StreamState:
-    num: jnp.ndarray          # i32 [] number of stored events
+    num: jnp.ndarray          # i32 [] events ingested (= next virtual id)
     pos_px: jnp.ndarray       # i32 [N, 3]
     pos: jnp.ndarray          # f32 [N, 3] normalized
     feat: jnp.ndarray         # f32 [N, F] polarity features
     valid: jnp.ndarray        # bool [N]
+    vid: jnp.ndarray          # i32 [N] virtual event id per slot (ring)
     cells: jnp.ndarray        # i32 [N] level-1 cell id per node
     x1: jnp.ndarray           # f32 [N, C1] conv_block1 activations
+    x2: jnp.ndarray           # f32 [N, C1] Layer1 outputs (ring recompute)
+    nbr_slots: jnp.ndarray    # i32 [N, K] source slots of each node's edges
+    nbr_vid: jnp.ndarray      # i32 [N, K] source vids (liveness check)
+    nbr_valid: jnp.ndarray    # bool [N, K]
     cell_cnt: jnp.ndarray     # i32 [G1]
-    cell_max: jnp.ndarray     # f32 [G1, C2]
+    cell_max: jnp.ndarray     # f32 [G1, C1]
     pos_sum: jnp.ndarray      # f32 [G1, 3]
     tmax: jnp.ndarray         # f32 [G1]
     adj: jnp.ndarray          # bool [G1, 9]
@@ -71,11 +76,24 @@ class StreamingDetector:
     """Chunked streaming inference over one event stream (batch = 1)."""
 
     def __init__(self, cfg: DagrConfig, height: int, width: int,
-                 chunk: Optional[int] = None, count_flops: bool = True):
+                 chunk: Optional[int] = None, count_flops: bool = True,
+                 window_mode: str = "grow"):
+        """window_mode:
+        * "grow" — append-only store for one bounded window; reset the
+          state per window (the evaluate_flops protocol).
+        * "ring" — sliding window over an infinite stream: when the
+          ``n_nodes`` capacity is full, new events evict the oldest
+          (reference: graph/ev_graph.py:121-136, delete_nodes).  Level-1
+          aggregates and pooled adjacency are recomputed from the live
+          store each step (max-pooling cannot "subtract" evicted
+          contributions), so ring steps cost more than grow steps.
+        """
+        assert window_mode in ("grow", "ring")
         self.cfg = cfg
         self.height, self.width = height, width
         self.chunk = min(chunk or cfg.stream_chunk, cfg.n_nodes)
         self.count_flops = count_flops
+        self.window_mode = window_mode
         self.capacity = cfg.n_nodes
         ch = cfg.channels()
         self.c1 = ch[1]
@@ -90,14 +108,20 @@ class StreamingDetector:
         N = self.capacity
         G1 = self.ny1 * self.nx1
         ch = self.cfg.channels()
+        K = self.cfg.max_neighbors
         return StreamState(
             num=jnp.zeros((), jnp.int32),
             pos_px=jnp.zeros((N, 3), jnp.int32),
             pos=jnp.zeros((N, 3), jnp.float32),
             feat=jnp.zeros((N, 1), jnp.float32),
             valid=jnp.zeros((N,), bool),
+            vid=jnp.full((N,), -1, jnp.int32),
             cells=jnp.full((N,), G1, jnp.int32),
             x1=jnp.zeros((N, ch[1]), jnp.float32),
+            x2=jnp.zeros((N, ch[1]), jnp.float32),
+            nbr_slots=jnp.zeros((N, K), jnp.int32),
+            nbr_vid=jnp.full((N, K), -1, jnp.int32),
+            nbr_valid=jnp.zeros((N, K), bool),
             cell_cnt=jnp.zeros((G1,), jnp.int32),
             # level-1 cells aggregate Layer1 outputs (ch[1] wide)
             cell_max=jnp.full((G1, ch[1]), jnp.finfo(jnp.float32).min),
@@ -123,24 +147,39 @@ class StreamingDetector:
         bb = params["backbone"]
         sb = batch_stats["backbone"]
 
+        ring = self.window_mode == "ring"
         n0 = state.num
-        idx = n0 + jnp.arange(C, dtype=jnp.int32)           # chunk slots
-        in_cap = idx < N
-        cv = chunk_valid & in_cap
+        vids = n0 + jnp.arange(C, dtype=jnp.int32)          # virtual ids
+        if ring:
+            slots = vids % N
+            cv = chunk_valid
+        else:
+            slots = vids
+            cv = chunk_valid & (slots < N)
 
         pos_norm_c = chunk_pos_px.astype(jnp.float32) / jnp.array(
             [W, H, T], jnp.float32)
 
-        def put(table, values):
-            return jax.lax.dynamic_update_slice_in_dim(
-                table, values.astype(table.dtype), n0, axis=0)
+        if ring:
+            # scatter writes; invalid entries dropped via OOB index
+            w_slots = jnp.where(cv, slots, N)
+
+            def put(table, values):
+                return table.at[w_slots].set(values.astype(table.dtype))
+        else:
+            def put(table, values):
+                return jax.lax.dynamic_update_slice_in_dim(
+                    table, values.astype(table.dtype), n0, axis=0)
 
         state = state.replace(
             pos_px=put(state.pos_px, chunk_pos_px),
             pos=put(state.pos, pos_norm_c),
             feat=put(state.feat, chunk_feat),
-            valid=put(state.valid, cv),
-            num=jnp.minimum(n0 + cv.sum().astype(jnp.int32), N),
+            valid=put(state.valid, cv) if not ring
+            else state.valid.at[w_slots].set(True),
+            vid=put(state.vid, vids),
+            num=(n0 + cv.sum().astype(jnp.int32)) if ring
+            else jnp.minimum(n0 + cv.sum().astype(jnp.int32), N),
         )
 
         # ---- graph: new edges into the store (insert-then-search) ----
@@ -148,19 +187,21 @@ class StreamingDetector:
             state.pos_px[:, 0], state.pos_px[:, 1], state.pos_px[:, 2],
             state.valid,
             chunk_pos_px[:, 0], chunk_pos_px[:, 1], chunk_pos_px[:, 2],
-            idx, cv,
+            vids, cv,
             width=W, height=H, radius=self.radius,
             delta_t_us=self.delta_t, max_neighbors=cfg.max_neighbors,
             queue_size=cfg.max_queue_size,
+            store_vid=state.vid if ring else None,
         )
-        nbr = jnp.concatenate([idx[:, None], nbr_rest], axis=1)   # [C, K]
+        slots_c = jnp.clip(slots, 0, N - 1)
+        nbr = jnp.concatenate([slots_c[:, None], nbr_rest], axis=1)  # [C, K]
         nbr_mask = jnp.concatenate([cv[:, None], mask_rest], axis=1)
 
         # ---- event level: update only the chunk (exact, see module doc)
         x_in_table = jnp.concatenate(
             [state.feat, jnp.where(state.valid[:, None], state.pos[:, :2], 0.0)],
             axis=1)                                               # [N, 3]
-        x_in_dst = x_in_table[jnp.clip(idx, 0, N - 1)]
+        x_in_dst = jnp.take_along_axis(x_in_table, slots_c[:, None], axis=0)
         p1 = bb["conv_block1"]
         s1 = sb["conv_block1"]
 
@@ -183,8 +224,19 @@ class StreamingDetector:
                      s1["conv_block2"]["norm_skip"])
         x2 = activation_fn(act)(h2 + sk)
         x2 = jnp.where(cv[:, None], x2, 0.0)
+        state = state.replace(x2=put(state.x2, x2))
 
-        # ---- level-1 aggregate update (monotone) ---------------------
+        # cache the chunk's edges (needed for ring recompute; cheap)
+        nbr_vid_c = jnp.take_along_axis(
+            state.vid, jnp.clip(nbr, 0, N - 1).reshape(-1), axis=0
+        ).reshape(C, -1)
+        state = state.replace(
+            nbr_slots=put(state.nbr_slots, nbr),
+            nbr_vid=put(state.nbr_vid, nbr_vid_c),
+            nbr_valid=put(state.nbr_valid, nbr_mask),
+            edges_total=state.edges_total + nbr_mask.sum().astype(jnp.int32),
+        )
+
         px = jnp.clip(pos_norm_c[:, 0], 0.0, 0.9999999)
         py = jnp.clip(pos_norm_c[:, 1], 0.0, 0.9999999)
         cx = jnp.clip((px * self.nx1).astype(jnp.int32), 0, self.nx1 - 1)
@@ -192,40 +244,81 @@ class StreamingDetector:
         cell_c = jnp.where(cv, cx + self.nx1 * cy, G1)
         state = state.replace(cells=put(state.cells, cell_c))
 
-        seg_max = lambda v: jax.ops.segment_max(
+        seg_max_c = lambda v: jax.ops.segment_max(
             v, cell_c, num_segments=G1 + 1)[:G1]
-        seg_sum = lambda v: jax.ops.segment_sum(
+        seg_sum_c = lambda v: jax.ops.segment_sum(
             v, cell_c, num_segments=G1 + 1)[:G1]
+        touched = seg_sum_c(cv.astype(jnp.int32)) > 0
 
         big_neg = jnp.finfo(jnp.float32).min
-        new_max = seg_max(jnp.where(cv[:, None], x2, big_neg))
-        touched = seg_sum(cv.astype(jnp.int32)) > 0
-        state = state.replace(
-            cell_cnt=state.cell_cnt + seg_sum(cv.astype(jnp.int32)),
-            cell_max=jnp.maximum(state.cell_max, new_max),
-            pos_sum=state.pos_sum + seg_sum(
-                jnp.where(cv[:, None], pos_norm_c, 0.0)),
-            tmax=jnp.maximum(state.tmax, seg_max(
-                jnp.where(cv, pos_norm_c[:, 2], -jnp.inf))),
-            edges_total=state.edges_total
-            + nbr_mask.sum().astype(jnp.int32),
-        )
-
-        # adjacency from the chunk's new edges (pooled-edge OR-in,
-        # reference async analogue: max_pool.py:203-243)
-        src_cells = state.cells[jnp.clip(nbr, 0, N - 1)]          # [C, K]
-        scx, scy = src_cells % self.nx1, src_cells // self.nx1
-        dx = scx - cx[:, None]
-        dy = scy - cy[:, None]
-        in_st = (jnp.abs(dx) <= 1) & (jnp.abs(dy) <= 1)
-        o = (dy + 1) * 3 + (dx + 1)
-        ev = nbr_mask & cv[:, None] & in_st & (o != GRID_SELF_OFFSET) \
-            & (src_cells < G1)
-        flat = jnp.where(ev, cell_c[:, None] * 9 + o, G1 * 9)
-        hit = jax.ops.segment_max(
-            ev.reshape(-1).astype(jnp.int32), flat.reshape(-1),
-            num_segments=G1 * 9 + 1)[: G1 * 9].reshape(G1, 9) > 0
-        state = state.replace(adj=state.adj | hit)
+        if not ring:
+            # ---- monotone aggregate update (append-only window) -------
+            new_max = seg_max_c(jnp.where(cv[:, None], x2, big_neg))
+            state = state.replace(
+                cell_cnt=state.cell_cnt + seg_sum_c(cv.astype(jnp.int32)),
+                cell_max=jnp.maximum(state.cell_max, new_max),
+                pos_sum=state.pos_sum + seg_sum_c(
+                    jnp.where(cv[:, None], pos_norm_c, 0.0)),
+                tmax=jnp.maximum(state.tmax, seg_max_c(
+                    jnp.where(cv, pos_norm_c[:, 2], -jnp.inf))),
+            )
+            # adjacency from the chunk's new edges (pooled-edge OR-in,
+            # reference async analogue: max_pool.py:203-243)
+            src_cells = jnp.take_along_axis(
+                state.cells, jnp.clip(nbr, 0, N - 1).reshape(-1), axis=0
+            ).reshape(C, -1)
+            scx, scy = src_cells % self.nx1, src_cells // self.nx1
+            dx = scx - cx[:, None]
+            dy = scy - cy[:, None]
+            in_st = (jnp.abs(dx) <= 1) & (jnp.abs(dy) <= 1)
+            o = (dy + 1) * 3 + (dx + 1)
+            ev = nbr_mask & cv[:, None] & in_st & (o != GRID_SELF_OFFSET) \
+                & (src_cells < G1)
+            flat = jnp.where(ev, cell_c[:, None] * 9 + o, G1 * 9)
+            hit = jax.ops.segment_max(
+                ev.reshape(-1).astype(jnp.int32), flat.reshape(-1),
+                num_segments=G1 * 9 + 1)[: G1 * 9].reshape(G1, 9) > 0
+            state = state.replace(adj=state.adj | hit)
+        else:
+            # ---- sliding window: recompute aggregates from the live
+            # store (eviction invalidates monotone max/sum caches;
+            # reference delete_nodes analogue, ev_graph.py:121-136) ----
+            live = state.valid
+            seg = jnp.where(live, state.cells, G1)
+            seg_max = lambda v: jax.ops.segment_max(
+                v, seg, num_segments=G1 + 1)[:G1]
+            seg_sum = lambda v: jax.ops.segment_sum(
+                v, seg, num_segments=G1 + 1)[:G1]
+            state = state.replace(
+                cell_cnt=seg_sum(live.astype(jnp.int32)),
+                cell_max=seg_max(jnp.where(live[:, None], state.x2, big_neg)),
+                pos_sum=seg_sum(jnp.where(live[:, None], state.pos, 0.0)),
+                tmax=seg_max(jnp.where(live, state.pos[:, 2], -jnp.inf)),
+            )
+            # adjacency from all LIVE stored edges: an edge survives iff
+            # its source slot still holds the same event (vid match)
+            src_slots = jnp.clip(state.nbr_slots, 0, N - 1)
+            src_live = jnp.take_along_axis(
+                state.vid, src_slots.reshape(-1), axis=0
+            ).reshape(N, -1) == state.nbr_vid
+            src_cells = jnp.take_along_axis(
+                state.cells, src_slots.reshape(-1), axis=0
+            ).reshape(N, -1)
+            dcx = state.cells % self.nx1
+            dcy = jnp.minimum(state.cells // self.nx1, self.ny1 - 1)
+            dx = src_cells % self.nx1 - dcx[:, None]
+            dy = jnp.minimum(src_cells // self.nx1, self.ny1 - 1) \
+                - dcy[:, None]
+            in_st = (jnp.abs(dx) <= 1) & (jnp.abs(dy) <= 1)
+            o = (dy + 1) * 3 + (dx + 1)
+            ev = state.nbr_valid & live[:, None] & src_live & in_st \
+                & (o != GRID_SELF_OFFSET) & (src_cells < G1) \
+                & (state.cells < G1)[:, None]
+            flat = jnp.where(ev, state.cells[:, None] * 9 + o, G1 * 9)
+            adj = jax.ops.segment_max(
+                ev.reshape(-1).astype(jnp.int32), flat.reshape(-1),
+                num_segments=G1 * 9 + 1)[: G1 * 9].reshape(G1, 9) > 0
+            state = state.replace(adj=adj)
 
         raw, flops = self._dense_tail(params, batch_stats, state,
                                       nbr_mask, cv, touched)
