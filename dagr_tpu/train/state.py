@@ -51,16 +51,32 @@ def scrub_nan() -> optax.GradientTransformation:
     return optax.GradientTransformation(lambda _: optax.EmptyState(), update_fn)
 
 
-def make_optimizer(cfg: DagrConfig, num_iters_per_epoch: int):
+def make_optimizer(cfg: DagrConfig, num_iters_per_epoch: int,
+                   frozen_paths: Tuple[str, ...] = ()):
     """AdamW with sqrt batch-size LR scaling and YOLOX schedule
-    (reference: train_dsec.py:146-155)."""
+    (reference: train_dsec.py:146-155).
+
+    ``frozen_paths``: top-level param subtrees to freeze (zero
+    updates) — the functional equivalent of init_subnetwork's
+    requires_grad=False (reference: model/utils.py:9-23; the reference
+    freezes the pretrained image trunk, dagr.py:32-35)."""
     lr = cfg.l_r * math.sqrt(cfg.batch_size / 64.0)
     sched = yolox_schedule(lr, num_iters_per_epoch, cfg.tot_num_epochs)
-    return optax.chain(
+    tx = optax.chain(
         scrub_nan(),
         optax.clip(cfg.clip),           # elementwise, like clip_grad_value_
         optax.adamw(sched, weight_decay=cfg.weight_decay),
-    ), sched
+    )
+    if frozen_paths:
+        def label(params):
+            return {
+                k: ("frozen" if k in frozen_paths else "train")
+                for k in params
+            }
+
+        tx = optax.multi_transform(
+            {"train": tx, "frozen": optax.set_to_zero()}, label)
+    return tx, sched
 
 
 def ema_decay(updates, base: float = 0.9999):
@@ -74,9 +90,11 @@ def ema_update(ema_tree, new_tree, d):
 
 
 def init_state(
-    model: DAGR, cfg: DagrConfig, tx, rng, sample_events
+    model: DAGR, cfg: DagrConfig, tx, rng, sample_events,
+    sample_image=None,
 ) -> TrainState:
-    variables = model.init(rng, sample_events, train=False)
+    variables = model.init(rng, sample_events, image=sample_image,
+                           train=False)
     params = variables["params"]
     bstats = variables.get("batch_stats", {})
     return TrainState(

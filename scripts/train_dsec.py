@@ -53,17 +53,30 @@ def main():
                         with_images=cfg.use_image)
 
     model = DAGR(cfg, height=H, width=W)
-    tx, _ = make_optimizer(cfg, num_iters_per_epoch=max(len(train_loader), 1))
+    # pretrained + frozen image trunk (reference: dagr.py:32-35,
+    # init_subnetwork with freeze=True on backbone.net)
+    frozen = ("cnn",) if (cfg.use_image and cfg.img_net_checkpoint) else ()
+    tx, _ = make_optimizer(cfg, num_iters_per_epoch=max(len(train_loader), 1),
+                           frozen_paths=frozen)
 
     sample = next(iter(Loader(val_ds, 1, cfg.n_nodes,
                               with_images=cfg.use_image)))
     if cfg.use_image:
-        variables = model.init(jax.random.key(0), sample[0],
-                               image=sample[2], train=False)
-        from dagr_tpu.train.state import TrainState  # noqa
-        import jax.numpy as jnp
-        import optax  # noqa
-        state = init_state(model, cfg, tx, jax.random.key(0), sample[0])
+        state = init_state(model, cfg, tx, jax.random.key(0), sample[0],
+                           sample_image=sample[2])
+        if cfg.img_net_checkpoint:
+            from dagr_tpu.models.torch_import import load_reference_checkpoint
+
+            p, s = load_reference_checkpoint(cfg.img_net_checkpoint, cfg)
+            if "cnn" in p:
+                state = state.replace(
+                    params={**state.params, "cnn": p["cnn"]},
+                    batch_stats={**state.batch_stats, "cnn": s["cnn"]},
+                    ema_params={**state.ema_params, "cnn": p["cnn"]},
+                    ema_stats={**state.ema_stats, "cnn": s["cnn"]},
+                )
+                print(f"loaded + froze image trunk from "
+                      f"{cfg.img_net_checkpoint}")
         step = jax.jit(make_train_step_fusion(
             model, cfg, tx, H, pretrain_cnn=cfg.pretrain_cnn))
     else:

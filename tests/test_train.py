@@ -54,6 +54,28 @@ def test_train_step_runs_and_ema_moves():
     assert max(jax.tree.leaves(diff)) < 1e-2
 
 
+def test_frozen_subtree_gets_zero_updates():
+    """frozen_paths freezes a top-level param subtree (the reference's
+    init_subnetwork freeze, model/utils.py:9-23)."""
+    import optax
+
+    from dagr_tpu.train.state import make_optimizer
+
+    params = {"backbone": {"w": jnp.ones(3)}, "cnn": {"w": jnp.ones(3)}}
+    grads = jax.tree.map(jnp.ones_like, params)
+    tx, _ = make_optimizer(CFG, 10, frozen_paths=("cnn",))
+    st = tx.init(params)
+    updates, _ = tx.update(grads, st, params)
+    assert float(jnp.abs(updates["cnn"]["w"]).max()) == 0.0
+    # other subtree still gets (possibly zero-lr at step 0) adam state;
+    # second step has lr > 0
+    updates, st2 = tx.update(grads, tx.init(params), params)
+    p2 = optax.apply_updates(params, updates)
+    updates2, _ = tx.update(grads, st2, p2)
+    assert float(jnp.abs(updates2["backbone"]["w"]).max()) > 0.0
+    assert float(jnp.abs(updates2["cnn"]["w"]).max()) == 0.0
+
+
 def test_dp_sharded_step_matches_single_device():
     """The dp=8 sharded step must produce the same loss and params as
     the unsharded step (collectives are a pure re-layout)."""
