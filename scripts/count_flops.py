@@ -77,12 +77,14 @@ def main():
 
         if args.check_consistency:
             from dagr_tpu.data.sample import collate
+            from dagr_tpu.streaming.consistency import check_consistency
 
             batch, _, _ = collate([s], cfg.n_nodes)
-            raw_sync = model.apply(variables, batch, train=False)
-            diff = float(np.abs(np.asarray(raw) - np.asarray(raw_sync)).max())
-            status = "OK" if diff < 1e-3 else "MISMATCH"
-            print(f"sample {i}: sync<->streaming max diff {diff:.2e} {status}")
+            ok, diffs = check_consistency(
+                variables, batch, cfg, H, W, chunk=fill_chunk)
+            status = "OK" if ok else "MISMATCH"
+            detail = ", ".join(f"{k}={v:.2e}" for k, v in diffs.items())
+            print(f"sample {i}: sync<->streaming {status} ({detail})")
 
     means = buf.compute()
     print(json.dumps(means, indent=2))

@@ -93,6 +93,19 @@ def test_streaming_single_event_updates():
     assert int(state.num) == 40
 
 
+def test_per_layer_consistency_harness():
+    """The check_consistency harness (reference evaluate_flops
+    --check_consistency equivalent) reports per-stage diffs within
+    tolerance."""
+    from dagr_tpu.streaming.consistency import check_consistency
+
+    model, variables, ev = setup_model()
+    ok, diffs = check_consistency(variables, ev, CFG, H, W, chunk=128)
+    assert ok, diffs
+    assert set(diffs) >= {"conv_block1", "pool1", "raw"}
+    assert all(v < 1e-3 for v in diffs.values())
+
+
 def test_flops_accounting_sparse():
     """Per-chunk sparse-equivalent FLOPs must be far below the full
     sync cost once the stream is warm."""
