@@ -56,6 +56,28 @@ def main():
     dt = (time.perf_counter() - t0) / iters
 
     mev_s = NV / dt / 1e6
+
+    # streaming engine: per-chunk event->detection latency
+    from dagr_tpu.streaming.engine import StreamingDetector, chunk_events
+
+    chunk = 256
+    eng = StreamingDetector(cfg, H, W, chunk=chunk, count_flops=False)
+    step = eng.make_step(variables["params"], variables["batch_stats"])
+    st = eng.init_state()
+    pos_px = np.asarray(windows[0].pos_px()[0])
+    feat = np.asarray(windows[0].feat[0])
+    chunks = chunk_events(pos_px[:NV], feat[:NV], chunk)
+    for c in chunks[:40]:                        # warm fill + compile
+        st, raw, _ = step(st, *c)
+    _ = np.asarray(raw[0, 0, 0])
+    lat = []
+    for c in chunks[40:48]:
+        t0 = time.perf_counter()
+        st, raw, _ = step(st, *c)
+        _ = np.asarray(raw[0, 0, 0])
+        lat.append(time.perf_counter() - t0)
+    p50 = sorted(lat)[len(lat) // 2] * 1e3
+
     print(json.dumps({
         "metric": "sync_inference_throughput",
         "value": round(mev_s, 3),
@@ -64,6 +86,7 @@ def main():
         "detail": {
             "window_events": NV,
             "steady_ms_per_window": round(dt * 1e3, 2),
+            "streaming_p50_latency_ms_per_256ev_chunk": round(p50, 2),
             "model": "dagr-s events-only, 320x240, incl. graph build + NMS",
         },
     }))

@@ -9,7 +9,7 @@ including int16 position casts and the image background handling.
 """
 from __future__ import annotations
 
-from typing import List, Optional, Sequence
+from typing import Sequence
 
 import numpy as np
 

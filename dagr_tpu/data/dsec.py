@@ -24,7 +24,7 @@ preprocessing (dsec_data.py:141-147).
 from __future__ import annotations
 
 from pathlib import Path
-from typing import Dict, List, Optional, Sequence
+from typing import Dict, List, Optional
 
 import numpy as np
 import yaml

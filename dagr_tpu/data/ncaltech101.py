@@ -9,8 +9,6 @@ time_window.
 from __future__ import annotations
 
 from pathlib import Path
-from typing import Optional
-
 import numpy as np
 
 from dagr_tpu.data.sample import EventSample

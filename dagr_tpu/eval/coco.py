@@ -14,7 +14,7 @@ AP_S, AP_M, AP_L.
 """
 from __future__ import annotations
 
-from typing import Dict, List, Optional, Sequence
+from typing import Dict, List, Sequence
 
 import numpy as np
 

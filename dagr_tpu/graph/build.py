@@ -181,10 +181,16 @@ def build_graph(
     cnt_hi = counts[M:M + M * S].reshape(M, S)                  # pos_i
     cnt_t = counts[M + M * S:].reshape(M, S)                    # t low bound
 
-    g_hi = _take(seg_end_table, jnp.clip(qpix, 0, B * HW - 1))
-    g_hi = jnp.where(inb, g_hi, 0)
+    # queue cap: only bites when some pixel holds > queue_size events
+    # in the window (hot pixels); skip the [M, S] table gather otherwise
+    def with_cap(_):
+        g_hi = _take(seg_end_table, jnp.clip(qpix, 0, B * HW - 1))
+        return jnp.where(inb, g_hi, 0) - queue_size
 
-    lo = jnp.maximum(g_hi - queue_size, cnt_t)
+    cap_lo = jax.lax.cond(
+        hist[:-1].max() > queue_size, with_cap,
+        lambda _: jnp.zeros_like(cnt_t), operand=None)
+    lo = jnp.maximum(cap_lo, cnt_t)
     cnt = jnp.where(inb, jnp.maximum(cnt_hi - lo, 0), 0)        # [M, S]
 
     src_flat, any_hit = _select_first_k(cnt, cnt_hi, order, K, M)

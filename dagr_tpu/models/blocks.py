@@ -47,26 +47,33 @@ class SplineConvLayer(nn.Module):
     root_weight: bool = True
     node_chunk: int = 2048
 
-    @nn.compact
-    def __call__(self, ns: NodeSet) -> jnp.ndarray:
+    def setup(self):
         P = self.kernel_size ** 2
-        w = self.param(
+        self.w = self.param(
             "weight", _spline_weight_init,
             (P, self.in_channels, self.out_channels),
         )
-        wr = (
+        self.root_w = (
             self.param(
                 "root", _root_weight_init,
                 (self.in_channels, self.out_channels),
             )
             if self.root_weight else None
         )
-        b = (
+        self.b = (
             self.param("bias", nn.initializers.zeros, (self.out_channels,))
             if self.use_bias else None
         )
+
+    def tensors(self):
+        """Expose the parameter tensors so sibling prediction layers
+        sharing an input can be fused into one conv."""
+        return self.w, self.root_w, self.b
+
+    def __call__(self, ns: NodeSet) -> jnp.ndarray:
         return spline_conv(
-            ns.feat, ns.pos, ns.graph.nbr, ns.graph.nbr_mask, w, wr, b,
+            ns.feat, ns.pos, ns.graph.nbr, ns.graph.nbr_mask,
+            self.w, self.root_w, self.b,
             max_value=self.max_value, kernel_size=self.kernel_size,
             node_chunk=self.node_chunk,
         )

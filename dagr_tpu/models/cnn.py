@@ -13,7 +13,7 @@ All convs are NHWC (TPU-native layout).
 """
 from __future__ import annotations
 
-from typing import List, Sequence, Tuple
+from typing import List, Sequence
 
 import jax
 import jax.numpy as jnp

@@ -13,8 +13,6 @@ sync<->streaming equivalence tests (the reference's
 """
 from __future__ import annotations
 
-from typing import Dict, Tuple
-
 import jax
 import jax.numpy as jnp
 
@@ -84,8 +82,16 @@ def scale_head_eval(p, s, ns: NodeSet, max_value: float, activation: str,
     reg_f = ns.replace(feat=conv_block_eval(
         p["reg_conv"], s["reg_conv"], ns, max_value, activation, node_chunk))
     cls_o = pred_eval(p["cls_pred"], cls_f, max_value, node_chunk)
-    reg_o = pred_eval(p["reg_pred"], reg_f, max_value, node_chunk)
-    obj_o = pred_eval(p["obj_pred"], reg_f, max_value, node_chunk)
+    # reg + obj preds share reg_feat: fuse into one conv
+    fused = {
+        k: jnp.concatenate(
+            [p["reg_pred"][k], p["obj_pred"][k]],
+            axis=-1 if k != "bias" else 0,
+        )
+        for k in ("weight", "root", "bias")
+    }
+    regobj = pred_eval(fused, reg_f, max_value, node_chunk)
+    reg_o, obj_o = regobj[..., :4], regobj[..., 4:]
     ny, nx = ns.grid_hw
     B = ns.feat.shape[0]
 

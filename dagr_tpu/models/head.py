@@ -25,6 +25,22 @@ from dagr_tpu.core.types import NodeSet
 from dagr_tpu.models.blocks import ConvBlock, SplineConvLayer
 
 
+def fused_pred(layers, ns, *, max_value, kernel_size, node_chunk):
+    """Run several SplineConvLayers that share the same input NodeSet as
+    ONE conv over concatenated output channels (parameter trees stay
+    separate; only the compute fuses)."""
+    from dagr_tpu.ops.spline import spline_conv
+
+    ws, rs, bs = zip(*[l.tensors() for l in layers])
+    w = jnp.concatenate(ws, axis=-1)
+    r = jnp.concatenate(rs, axis=-1) if rs[0] is not None else None
+    b = jnp.concatenate(bs) if bs[0] is not None else None
+    return spline_conv(
+        ns.feat, ns.pos, ns.graph.nbr, ns.graph.nbr_mask, w, r, b,
+        max_value=max_value, kernel_size=kernel_size, node_chunk=node_chunk,
+    )
+
+
 def make_grids_strides(
     hw: List[Tuple[int, int]], strides: List[int]
 ) -> Tuple[np.ndarray, np.ndarray]:
@@ -70,8 +86,16 @@ class ScaleHead(nn.Module):
         cls_out = SplineConvLayer(
             self.n_reg, self.num_classes, name="cls_pred", **pred_kw
         )(cls_feat)
-        reg_out = SplineConvLayer(self.n_reg, 4, name="reg_pred", **pred_kw)(reg_feat)
-        obj_out = SplineConvLayer(self.n_reg, 1, name="obj_pred", **pred_kw)(reg_feat)
+        # reg and obj preds share reg_feat: one fused conv over the
+        # concatenated output channels (parameter tree unchanged)
+        reg_p = SplineConvLayer(self.n_reg, 4, name="reg_pred", **pred_kw)
+        obj_p = SplineConvLayer(self.n_reg, 1, name="obj_pred", **pred_kw)
+        regobj = fused_pred(
+            [reg_p, obj_p], reg_feat,
+            max_value=self.max_value, kernel_size=self.kernel_size,
+            node_chunk=self.node_chunk,
+        )
+        reg_out, obj_out = regobj[..., :4], regobj[..., 4:]
 
         # graph -> dense canvas (reference: spline_conv.py:80-118): invalid
         # cells contribute zeros, exactly like the reference's zeroed canvas

@@ -389,6 +389,7 @@ class StreamingDetector:
                     + ch[1] * (2 * cin0 - 1)))     # skip linear
 
         changed = touched1                     # bool [G1]
+        changed_snaps = []
         level_names = ["layer2", "layer3", "layer4", "layer5"]
         for li, name in enumerate(level_names):
             ns = with_rel(ns)
@@ -408,6 +409,8 @@ class StreamingDetector:
             ns = layer_eval(bb[name], sb[name], ns, self.mv[li + 1], act)
             if name == "layer4":
                 outs.append(ns)
+                if self.count_flops:
+                    changed_snaps.append((changed, ns))
             if li < 3:
                 g = self.grids[li + 1]
                 ns = pool_nodeset(
@@ -425,12 +428,33 @@ class StreamingDetector:
                         changed.astype(jnp.int32), parent,
                         num_segments=g[0] * g[1]) > 0
         outs.append(ns)
+        if self.count_flops:
+            changed_snaps.append((changed, ns))
+            changed_snaps = changed_snaps[-cfg.num_scales:]
         outs = outs[-cfg.num_scales:]
 
         raws = []
         n_scales = cfg.num_scales
         mvs = self.mv[-n_scales:] if n_scales > 1 else (self.mv[4],)
         for k, o in enumerate(outs):
+            if self.count_flops:
+                # head convs (reference logs every async SplineConv,
+                # including the head's, via asy_flops_log)
+                ch_k, ns_k = changed_snaps[k]
+                nbrm = ns_k.graph.nbr_mask[0]
+                nbrs = ns_k.graph.nbr[0]
+                n_reg = max(ch[-cfg.num_scales:])
+                cin = ns_k.feat.shape[-1]
+                plan = [("stem", cin, n_reg), ("cls_conv", n_reg, n_reg),
+                        ("reg_conv", n_reg, n_reg),
+                        ("preds", n_reg, cfg.num_classes + 5)]
+                aff = ch_k
+                for pname, ci, co in plan:
+                    if pname != "preds":
+                        aff = aff | (aff[nbrs] & nbrm).any(-1)
+                    e = (nbrm & aff[:, None]).sum()
+                    flops[f"head.scale{k + 1}.{pname}"] = (
+                        e * (2 * ci - 1) * co + aff.sum() * co * (2 * ci - 1))
             cls_o, reg_o, obj_o = scale_head_eval(
                 hd[f"scale{k + 1}"], sh[f"scale{k + 1}"], o, mvs[k], act)
             out = jnp.concatenate([reg_o, obj_o, cls_o], axis=-1)

@@ -6,7 +6,7 @@ Mirrors the reference's script-level loops
 from __future__ import annotations
 
 import time
-from typing import Dict, Optional
+from typing import Optional
 
 import jax
 import numpy as np

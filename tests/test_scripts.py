@@ -82,6 +82,26 @@ def test_count_flops_script(dsec_env, tmp_path, monkeypatch, capsys):
     assert "total" in out
 
 
+def test_train_ncaltech_script(tmp_path, monkeypatch):
+    from test_data import make_ncaltech
+
+    make_ncaltech(tmp_path, n_classes=2, n_files=2)
+    # the script expects training/validation splits
+    import shutil
+
+    # annotations dir is shared across splits (load_dir/../annotations)
+    shutil.copytree(tmp_path / "training", tmp_path / "validation")
+    out = tmp_path / "logs"
+    run_script(monkeypatch, "train_ncaltech101", TINY_FLAGS + [
+        "--dataset", "ncaltech101",
+        "--dataset_directory", str(tmp_path),
+        "--output_directory", str(out),
+        "--num_scales", "1",
+    ])
+    run_dir = out / "low_latency-ncaltech101-detection" / "default"
+    assert (run_dir / "last_model").exists()
+
+
 def test_checkpoint_roundtrip(tmp_path):
     import jax
     import jax.numpy as jnp
