@@ -476,6 +476,29 @@ class StreamingDetector:
 
         return _step
 
+    # ------------------------------------------------------------------
+    def init_states(self, n_streams: int) -> StreamState:
+        """Stacked state for ``n_streams`` independent event streams."""
+        one = self.init_state()
+        return jax.tree.map(
+            lambda a: jnp.broadcast_to(a, (n_streams,) + a.shape).copy(), one)
+
+    def make_step_multistream(self, params, batch_stats):
+        """vmapped step over stacked streams: each chip serves many
+        independent cameras (streaming inference is embarrassingly
+        parallel, SURVEY.md §5); batching streams amortizes per-op
+        overheads.  step(states, pos_px [S,C,3], feat [S,C,F],
+        valid [S,C]) -> (states, raw [S,1,A,*], flops)."""
+
+        def one(state, pos_px, feat, valid):
+            return self.step(params, batch_stats, state, pos_px, feat, valid)
+
+        @functools.partial(jax.jit, donate_argnums=(0,))
+        def _step(states, pos_px, feat, valid):
+            return jax.vmap(one)(states, pos_px, feat, valid)
+
+        return _step
+
 
 def chunk_events(pos_px: np.ndarray, feat: np.ndarray, chunk: int):
     """Split one sample's [n, 3] events into padded chunks."""
