@@ -70,10 +70,10 @@ class SplineConvLayer(nn.Module):
         sharing an input can be fused into one conv."""
         return self.w, self.root_w, self.b
 
-    def __call__(self, ns: NodeSet) -> jnp.ndarray:
+    def __call__(self, ns: NodeSet, basis=None) -> jnp.ndarray:
         return spline_conv(
             ns.feat, ns.pos, ns.graph.nbr, ns.graph.nbr_mask,
-            self.w, self.root_w, self.b,
+            self.w, self.root_w, self.b, basis,
             max_value=self.max_value, kernel_size=self.kernel_size,
             node_chunk=self.node_chunk,
         )
@@ -140,12 +140,13 @@ class ConvBlock(nn.Module):
     node_chunk: int = 2048
 
     @nn.compact
-    def __call__(self, ns: NodeSet, train: bool = False) -> NodeSet:
+    def __call__(self, ns: NodeSet, train: bool = False,
+                 basis=None) -> NodeSet:
         x = SplineConvLayer(
             self.in_channels, self.out_channels, self.max_value,
             kernel_size=self.kernel_size, node_chunk=self.node_chunk,
             name="conv",
-        )(ns)
+        )(ns, basis)
         x = MaskedBatchNorm(self.out_channels, name="norm")(x, ns.mask, train)
         x = activation_fn(self.activation)(x)
         return ns.replace(feat=jnp.where(ns.mask[..., None], x, 0.0))
@@ -164,12 +165,13 @@ class ConvBlockWithSkip(nn.Module):
     node_chunk: int = 2048
 
     @nn.compact
-    def __call__(self, ns: NodeSet, skip_feat: jnp.ndarray, train: bool = False) -> NodeSet:
+    def __call__(self, ns: NodeSet, skip_feat: jnp.ndarray,
+                 train: bool = False, basis=None) -> NodeSet:
         x = SplineConvLayer(
             self.in_channels, self.out_channels, self.max_value,
             kernel_size=self.kernel_size, node_chunk=self.node_chunk,
             name="conv",
-        )(ns)
+        )(ns, basis)
         x = MaskedBatchNorm(self.out_channels, name="norm")(x, ns.mask, train)
 
         s = nn.Dense(self.out_channels, use_bias=False, name="lin")(skip_feat)
@@ -193,14 +195,25 @@ class Layer(nn.Module):
     @nn.compact
     def __call__(self, ns: NodeSet, train: bool = False) -> NodeSet:
         skip_feat = ns.feat
+        # small pooled levels: compute the edge basis once, share it
+        # across both convs (cheap; skipped at the big event level where
+        # materializing [N, K, 25] costs more than recomputing)
+        basis = None
+        if ns.num_nodes <= 4096:
+            from dagr_tpu.ops.spline import edge_basis
+
+            basis = edge_basis(
+                ns.pos, ns.graph.nbr, max_value=self.max_value,
+                kernel_size=self.kernel_size,
+            )
         ns = ConvBlock(
             self.in_channels, self.out_channels, self.max_value,
             self.activation, self.kernel_size, self.node_chunk,
             name="conv_block1",
-        )(ns, train)
+        )(ns, train, basis)
         ns = ConvBlockWithSkip(
             self.out_channels, self.out_channels, self.in_channels,
             self.max_value, self.activation, self.kernel_size,
             self.node_chunk, name="conv_block2",
-        )(ns, skip_feat, train)
+        )(ns, skip_feat, train, basis)
         return ns

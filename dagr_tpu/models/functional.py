@@ -29,11 +29,11 @@ def bn_eval(x, params, stats):
 
 
 def conv_block_eval(p, s, ns: NodeSet, max_value: float, activation: str,
-                    node_chunk: int = 2048) -> jnp.ndarray:
+                    node_chunk: int = 2048, basis=None) -> jnp.ndarray:
     """ConvBlock in eval mode (reference: conv.py:10-28)."""
     x = spline_conv(
         ns.feat, ns.pos, ns.graph.nbr, ns.graph.nbr_mask,
-        p["conv"]["weight"], p["conv"]["root"], None,
+        p["conv"]["weight"], p["conv"]["root"], None, basis,
         max_value=max_value, node_chunk=node_chunk,
     )
     x = bn_eval(x, p["norm"], s["norm"])
@@ -45,13 +45,18 @@ def layer_eval(p, s, ns: NodeSet, max_value: float, activation: str,
                node_chunk: int = 2048) -> NodeSet:
     """Layer in eval mode (reference: conv.py:59-72)."""
     skip = ns.feat
+    basis = None
+    if ns.num_nodes <= 4096:
+        from dagr_tpu.ops.spline import edge_basis
+
+        basis = edge_basis(ns.pos, ns.graph.nbr, max_value=max_value)
     x1 = conv_block_eval(p["conv_block1"], s["conv_block1"], ns,
-                         max_value, activation, node_chunk)
+                         max_value, activation, node_chunk, basis)
     ns1 = ns.replace(feat=x1)
     x2 = spline_conv(
         ns1.feat, ns1.pos, ns1.graph.nbr, ns1.graph.nbr_mask,
         p["conv_block2"]["conv"]["weight"], p["conv_block2"]["conv"]["root"],
-        None, max_value=max_value, node_chunk=node_chunk,
+        None, basis, max_value=max_value, node_chunk=node_chunk,
     )
     x2 = bn_eval(x2, p["conv_block2"]["norm"], s["conv_block2"]["norm"])
     sk = skip @ p["conv_block2"]["lin"]["kernel"]
@@ -61,12 +66,12 @@ def layer_eval(p, s, ns: NodeSet, max_value: float, activation: str,
 
 
 def pred_eval(p, ns: NodeSet, max_value: float,
-              node_chunk: int = 2048) -> jnp.ndarray:
+              node_chunk: int = 2048, basis=None) -> jnp.ndarray:
     """SplineConvToDense's conv part (bias=True, reference:
     spline_conv.py:110-118); canvas reshape is done by the caller."""
     return spline_conv(
         ns.feat, ns.pos, ns.graph.nbr, ns.graph.nbr_mask,
-        p["weight"], p["root"], p["bias"],
+        p["weight"], p["root"], p["bias"], basis,
         max_value=max_value, node_chunk=node_chunk,
     )
 
@@ -75,13 +80,18 @@ def scale_head_eval(p, s, ns: NodeSet, max_value: float, activation: str,
                     node_chunk: int = 2048):
     """ScaleHead in eval mode (reference: dagr.py:179-190).  Returns
     (cls, reg, obj) dense canvases [B, ny, nx, C]."""
+    from dagr_tpu.ops.spline import edge_basis
+
+    basis = edge_basis(ns.pos, ns.graph.nbr, max_value=max_value)
     ns = ns.replace(feat=conv_block_eval(
-        p["stem"], s["stem"], ns, max_value, activation, node_chunk))
+        p["stem"], s["stem"], ns, max_value, activation, node_chunk, basis))
     cls_f = ns.replace(feat=conv_block_eval(
-        p["cls_conv"], s["cls_conv"], ns, max_value, activation, node_chunk))
+        p["cls_conv"], s["cls_conv"], ns, max_value, activation,
+        node_chunk, basis))
     reg_f = ns.replace(feat=conv_block_eval(
-        p["reg_conv"], s["reg_conv"], ns, max_value, activation, node_chunk))
-    cls_o = pred_eval(p["cls_pred"], cls_f, max_value, node_chunk)
+        p["reg_conv"], s["reg_conv"], ns, max_value, activation,
+        node_chunk, basis))
+    cls_o = pred_eval(p["cls_pred"], cls_f, max_value, node_chunk, basis)
     # reg + obj preds share reg_feat: fuse into one conv
     fused = {
         k: jnp.concatenate(
@@ -90,7 +100,7 @@ def scale_head_eval(p, s, ns: NodeSet, max_value: float, activation: str,
         )
         for k in ("weight", "root", "bias")
     }
-    regobj = pred_eval(fused, reg_f, max_value, node_chunk)
+    regobj = pred_eval(fused, reg_f, max_value, node_chunk, basis)
     reg_o, obj_o = regobj[..., :4], regobj[..., 4:]
     ny, nx = ns.grid_hw
     B = ns.feat.shape[0]

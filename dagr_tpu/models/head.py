@@ -25,7 +25,8 @@ from dagr_tpu.core.types import NodeSet
 from dagr_tpu.models.blocks import ConvBlock, SplineConvLayer
 
 
-def fused_pred(layers, ns, *, max_value, kernel_size, node_chunk):
+def fused_pred(layers, ns, *, max_value, kernel_size, node_chunk,
+               basis=None):
     """Run several SplineConvLayers that share the same input NodeSet as
     ONE conv over concatenated output channels (parameter trees stay
     separate; only the compute fuses)."""
@@ -36,7 +37,7 @@ def fused_pred(layers, ns, *, max_value, kernel_size, node_chunk):
     r = jnp.concatenate(rs, axis=-1) if rs[0] is not None else None
     b = jnp.concatenate(bs) if bs[0] is not None else None
     return spline_conv(
-        ns.feat, ns.pos, ns.graph.nbr, ns.graph.nbr_mask, w, r, b,
+        ns.feat, ns.pos, ns.graph.nbr, ns.graph.nbr_mask, w, r, b, basis,
         max_value=max_value, kernel_size=kernel_size, node_chunk=node_chunk,
     )
 
@@ -75,9 +76,17 @@ class ScaleHead(nn.Module):
             max_value=self.max_value, activation=self.activation,
             kernel_size=self.kernel_size, node_chunk=self.node_chunk,
         )
-        ns = ConvBlock(self.in_channels, self.n_reg, name="stem", **kw)(ns, train)
-        cls_feat = ConvBlock(self.n_reg, self.n_reg, name="cls_conv", **kw)(ns, train)
-        reg_feat = ConvBlock(self.n_reg, self.n_reg, name="reg_conv", **kw)(ns, train)
+        # all six convs of this scale share the level's edge basis
+        from dagr_tpu.ops.spline import edge_basis
+
+        basis = edge_basis(ns.pos, ns.graph.nbr, max_value=self.max_value,
+                           kernel_size=self.kernel_size)
+        ns = ConvBlock(self.in_channels, self.n_reg, name="stem",
+                       **kw)(ns, train, basis)
+        cls_feat = ConvBlock(self.n_reg, self.n_reg, name="cls_conv",
+                             **kw)(ns, train, basis)
+        reg_feat = ConvBlock(self.n_reg, self.n_reg, name="reg_conv",
+                             **kw)(ns, train, basis)
 
         pred_kw = dict(
             max_value=self.max_value, kernel_size=self.kernel_size,
@@ -85,7 +94,7 @@ class ScaleHead(nn.Module):
         )
         cls_out = SplineConvLayer(
             self.n_reg, self.num_classes, name="cls_pred", **pred_kw
-        )(cls_feat)
+        )(cls_feat, basis)
         # reg and obj preds share reg_feat: one fused conv over the
         # concatenated output channels (parameter tree unchanged)
         reg_p = SplineConvLayer(self.n_reg, 4, name="reg_pred", **pred_kw)
@@ -93,7 +102,7 @@ class ScaleHead(nn.Module):
         regobj = fused_pred(
             [reg_p, obj_p], reg_feat,
             max_value=self.max_value, kernel_size=self.kernel_size,
-            node_chunk=self.node_chunk,
+            node_chunk=self.node_chunk, basis=basis,
         )
         reg_out, obj_out = regobj[..., :4], regobj[..., 4:]
 

@@ -53,13 +53,35 @@ def bilinear_basis(attr: jnp.ndarray, kernel_size: int = 5) -> jnp.ndarray:
     return (wy[..., :, None] * wx[..., None, :]).reshape(*attr.shape[:-1], k * k)
 
 
-def _edge_messages(x_src, attr, weight, kernel_size):
-    """x_src [E, Cin], attr [E, 2], weight [P, Cin, Cout] -> [E, Cout]."""
+def _edge_messages(x_src, basis, weight):
+    """x_src [E, Cin], basis [E, P], weight [P, Cin, Cout] -> [E, Cout]."""
     P, cin, cout = weight.shape
-    basis = bilinear_basis(attr, kernel_size)                   # [E, P]
     w_flat = jnp.transpose(weight, (1, 0, 2)).reshape(cin, P * cout)
     z = jnp.dot(x_src, w_flat, preferred_element_type=jnp.float32)
     return jnp.einsum("ep,epo->eo", basis, z.reshape(-1, P, cout))
+
+
+def edge_basis(
+    pos: jnp.ndarray,        # f32 [B, N, >=2]
+    nbr: jnp.ndarray,        # i32 [B, N, K]
+    *,
+    max_value: float,
+    kernel_size: int = 5,
+) -> jnp.ndarray:
+    """Precompute the per-edge spline basis [B, N, K, P] so several
+    convs on the same level share it (the reference computes edge_attr
+    once per level and every conv reuses it, net.py:122-125 +
+    pooling.py:88-92).  Worth it only for small pooled levels — at the
+    50k-node event level the materialization outweighs recompute."""
+    B, N, K = nbr.shape
+    M = B * N
+    pos_flat = pos[..., :2].reshape(M, 2)
+    base = (jnp.arange(B, dtype=jnp.int32) * N)[:, None, None]
+    idx = jnp.clip(nbr + base, 0, M - 1).reshape(-1)
+    pos_src = jnp.take_along_axis(pos_flat, idx[:, None], axis=0)
+    pos_dst = jnp.repeat(pos_flat, K, axis=0).reshape(B, N, K, 2)
+    attr = (pos_src.reshape(B, N, K, 2) - pos_dst) / (2.0 * max_value) + 0.5
+    return bilinear_basis(jnp.clip(attr, 0.0, 1.0), kernel_size)
 
 
 @functools.partial(
@@ -74,6 +96,7 @@ def spline_conv(
     weight: jnp.ndarray,       # f32 [P, Cin, Cout], P = kernel_size**2
     root_weight: Optional[jnp.ndarray] = None,  # f32 [Cin, Cout]
     bias: Optional[jnp.ndarray] = None,         # f32 [Cout]
+    basis: Optional[jnp.ndarray] = None,        # f32 [B, N, K, P] precomputed
     *,
     max_value: float,
     kernel_size: int = 5,
@@ -91,6 +114,9 @@ def spline_conv(
     assert P == kernel_size * kernel_size
 
     M = B * N
+    if M <= 4096:
+        # small pooled levels: single shot, no lax.map chunking
+        node_chunk = max(node_chunk, M)
     x_flat = x.reshape(M, cin)
     pos_flat = pos[..., :2].reshape(M, 2)
     base = (jnp.arange(B, dtype=jnp.int32) * N)[:, None, None]
@@ -107,21 +133,32 @@ def spline_conv(
         )
 
     def chunk_fn(args):
-        nbr_c, mask_c, pos_c = args            # [T, K], [T, K], [T, 2]
+        if basis is None:
+            nbr_c, mask_c, pos_c = args        # [T, K], [T, K], [T, 2]
+        else:
+            nbr_c, mask_c, basis_c = args      # basis_c [T, K, P]
         T = nbr_c.shape[0]
         idx = jnp.clip(nbr_c, 0, M - 1).reshape(-1)
         # NB: row gathers formulated as take_along_axis — the axon
         # backend executes x[idx] ~100x slower than this form
         x_src = jnp.take_along_axis(
             x_flat, idx[:, None], axis=0)                     # [T*K, Cin]
-        pos_src = jnp.take_along_axis(pos_flat, idx[:, None], axis=0)
-        attr = (pos_src - jnp.repeat(pos_c, K, axis=0)) / (2.0 * max_value) + 0.5
-        attr = jnp.clip(attr, 0.0, 1.0)
-        msg = _edge_messages(x_src, attr, weight, kernel_size)  # [T*K, Cout]
+        if basis is None:
+            pos_src = jnp.take_along_axis(pos_flat, idx[:, None], axis=0)
+            attr = (pos_src - jnp.repeat(pos_c, K, axis=0)) \
+                / (2.0 * max_value) + 0.5
+            b_c = bilinear_basis(jnp.clip(attr, 0.0, 1.0), kernel_size)
+        else:
+            b_c = basis_c.reshape(T * K, P)
+        msg = _edge_messages(x_src, b_c, weight)              # [T*K, Cout]
         msg = msg.reshape(T, K, cout) * mask_c[..., None]
         return msg.sum(axis=1)
 
-    args = (padded(nbr_flat), padded(mask_flat, False), padded(pos_flat))
+    third = (
+        padded(pos_flat) if basis is None
+        else padded(basis.reshape(M, K, P))
+    )
+    args = (padded(nbr_flat), padded(mask_flat, False), third)
     if pad_to == node_chunk:
         out = chunk_fn(jax.tree.map(lambda a: a[0], args))[:M]
     else:
