@@ -74,11 +74,13 @@ class DagrConfig:
     no_eval: bool = False
     num_interframe_steps: int = 10
 
+    # resume training from an explicit checkpoint directory
+    # (reference: scripts/train_dsec.py:164-166, --resume_checkpoint)
+    resume_checkpoint: str = ""
+
     # TPU-native additions (no reference counterpart; see SURVEY.md §7)
     # number of data-parallel shards; 1 = single chip
     dp: int = 1
-    # dtype for matmul-heavy compute ("bfloat16" or "float32")
-    compute_dtype: str = "float32"
     # streaming chunk size for the incremental engine
     stream_chunk: int = 1024
     # node chunk for the spline-conv edge pipeline (bounds VMEM/HBM use)

@@ -23,7 +23,8 @@ from dagr_tpu.train.state import init_state, make_optimizer
 
 
 def main():
-    cfg = parse_flags()
+    argv = [a for a in sys.argv[1:] if a != "--visualize"]
+    cfg = parse_flags(argv)
     np.random.seed(42)
     ds = DSEC(Path(cfg.dataset_directory), "test",
               transform=Augmentations.testing(),
@@ -44,9 +45,26 @@ def main():
             state = restored
             print(f"loaded checkpoint from {cfg.checkpoint}")
 
-    buf, _ = run_test(loader, model, state, cfg, H, W, ds.classes)
+    buf, dets = run_test(loader, model, state, cfg, H, W, ds.classes,
+                         compile_detections=True)
     metrics = buf.compute()
     print({k: round(v, 4) for k, v in metrics.items()})
+
+    if cfg.output_directory and "--visualize" in sys.argv:
+        # render detections over events (reference:
+        # utils/testing.py:16-55, run_test_with_visualization)
+        import cv2
+
+        from dagr_tpu.visualization.viz import render_detections_on_sample
+
+        out = Path(cfg.output_directory) / "viz"
+        out.mkdir(parents=True, exist_ok=True)
+        for i, det in enumerate(dets[:100]):
+            img = render_detections_on_sample(ds[i], det,
+                                              class_names=ds.classes)
+            cv2.imwrite(str(out / f"{i:06d}.png"),
+                        cv2.cvtColor(img, cv2.COLOR_RGB2BGR))
+        print(f"wrote visualizations to {out}")
 
 
 if __name__ == "__main__":

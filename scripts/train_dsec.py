@@ -97,6 +97,10 @@ def main():
 
     ckpt = Checkpointer(out_dir)
     restored, start_epoch = ckpt.restore_if_existing(state)
+    if cfg.resume_checkpoint:
+        # explicit resume path wins (reference: train_dsec.py:164-166)
+        restored, start_epoch = Checkpointer(
+            Path(cfg.resume_checkpoint)).restore_if_existing(state)
     if restored is not None:
         state = restored
         print(f"resumed from epoch {start_epoch}")
