@@ -19,3 +19,26 @@ reference implementation: uzh-rpg/dagr).  The design is TPU-first:
 """
 
 __version__ = "0.1.0"
+
+
+def __getattr__(name):
+    """Lazy top-level API (keeps `import dagr_tpu` light)."""
+    import importlib
+
+    api = {
+        "DagrConfig": "dagr_tpu.config",
+        "config_from_yaml": "dagr_tpu.config",
+        "parse_flags": "dagr_tpu.config",
+        "EventBatch": "dagr_tpu.core.types",
+        "EventGraph": "dagr_tpu.core.types",
+        "NodeSet": "dagr_tpu.core.types",
+        "build_graph": "dagr_tpu.graph.build",
+        "DAGR": "dagr_tpu.models.dagr",
+        "detect": "dagr_tpu.models.dagr",
+        "detection_loss": "dagr_tpu.models.dagr",
+        "StreamingDetector": "dagr_tpu.streaming.engine",
+        "load_reference_checkpoint": "dagr_tpu.models.torch_import",
+    }
+    if name in api:
+        return getattr(importlib.import_module(api[name]), name)
+    raise AttributeError(f"module 'dagr_tpu' has no attribute {name!r}")
