@@ -6,7 +6,8 @@ scripts/downsample_events.py:30-124 and the numba kernel at :109-124).
 The accumulator is inherently sequential per cell; the hot loop lives
 in dagr_tpu/native (C++) with a numpy fallback.  Output uses gzip
 instead of the reference's blosc (no blosc HDF5 plugin in this
-environment); readers only rely on h5py which handles both.
+environment); readers go through dagr_tpu.data.h5io, which reads both
+gzip and the reference's blosc-zstd files (filter 32001).
 """
 from __future__ import annotations
 
@@ -93,14 +94,17 @@ def downsample_file(input_path: Path, output_path: Path,
     downsample_events.py:127-163)."""
     import h5py
 
+    from dagr_tpu.data import h5io
+
     with h5py.File(input_path, "r") as f:
-        n = len(f["events/t"])
+        dsets = {k: h5io.dset(f, f"events/{k}") for k in "xytp"}
+        n = len(dsets["t"])
         t_offset = int(f["t_offset"][()]) if "t_offset" in f else 0
         outs = {k: [] for k in "xytp"}
         change_map = None
         for i0 in range(0, n, chunk):
             i1 = min(i0 + chunk, n)
-            ev = {k: f[f"events/{k}"][i0:i1] for k in "xytp"}
+            ev = {k: dsets[k][i0:i1] for k in "xytp"}
             ev["p"] = 2 * ev["p"].astype(np.int8) - 1
             ds, change_map = downsample_events(
                 ev, input_height, input_width, output_height, output_width,

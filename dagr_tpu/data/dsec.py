@@ -178,16 +178,18 @@ class DSECSequence:
         (reference: dsec_utils.py:80-120 and dsec-det's event slicing)."""
         import h5py
 
+        from dagr_tpu.data import h5io
+
         with h5py.File(self.event_file, "r") as f:
             t_offset = int(f["t_offset"][()])
-            ms2i = f["ms_to_idx"]
+            ms2i = h5io.dset(f, "ms_to_idx")   # blosc-transparent view
             ms0 = max(0, int((t_start - t_offset) // 1000))
             ms1 = max(0, int((t_end - t_offset) // 1000))
             ms0 = min(ms0, len(ms2i) - 1)
             ms1 = min(ms1, len(ms2i) - 1)
             i0, i1 = int(ms2i[ms0]), int(ms2i[ms1])
             i0, i1 = sorted([max(i0, 0), max(i1, 0)])
-            ev = {k: f[f"events/{k}"][i0:i1] for k in "xytp"}
+            ev = {k: h5io.dset(f, f"events/{k}")[i0:i1] for k in "xytp"}
         ev["t"] = ev["t"].astype(np.int64) + t_offset
         sel = (ev["t"] >= t_start) & (ev["t"] < t_end)
         return {k: v[sel] for k, v in ev.items()}

@@ -50,15 +50,17 @@ class NCaltech101:
     def __getitem__(self, idx) -> EventSample:
         import h5py
 
+        from dagr_tpu.data import h5io
+
         f_path = self.files[idx]
         class_id = self.classes.index(f_path.parent.name)
         with h5py.File(f_path, "r") as fh:
             g = fh["events"]
             n = self.num_events
-            x = g["x"][-n:]
-            y = g["y"][-n:]
-            t = g["t"][-n:].astype(np.int64)
-            p = g["p"][-n:]
+            x = h5io.dset(g, "x")[-n:]
+            y = h5io.dset(g, "y")[-n:]
+            t = h5io.dset(g, "t")[-n:].astype(np.int64)
+            p = h5io.dset(g, "p")[-n:]
 
         # shift so the last event is at time_window
         # (reference: ncaltech101_data.py:36-38)

@@ -147,8 +147,11 @@ def sample_features(pos, mask, image_feat, width, height):
     fv = (v - v0)[..., None]
 
     def gather(feat, vy, ux):
-        idx = vy * Wf + ux                      # [N]
-        return feat.reshape(Hf * Wf, C)[idx]
+        # take_along_axis, not x[idx]: row gathers are ~100x slower than
+        # take_along_axis on this backend (same trick as ops/spline.py)
+        idx = (vy * Wf + ux).astype(jnp.int32)  # [N]
+        return jnp.take_along_axis(
+            feat.reshape(Hf * Wf, C), idx[:, None], axis=0)
 
     out = jax.vmap(
         lambda feat, v0_, u0_, fu_, fv_: (

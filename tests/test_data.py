@@ -215,3 +215,85 @@ def test_downsample_tool(tmp_path):
         assert 0.2 < len(x) / n < 0.3
         assert x.max() < 32 and y.max() < 24
         assert (np.diff(m.astype(np.int64)) >= 0).all()
+
+
+def write_event_h5_blosc(path, events, t_offset=None, chunk=1024):
+    """Reference-format event file: blosc-zstd, bit shuffle, level 1
+    (reference: scripts/downsample_events.py:15-34)."""
+    import h5py
+
+    from dagr_tpu.data import h5io
+    from dagr_tpu.data.downsample import create_ms_to_idx
+
+    t = np.asarray(events["t"], np.int64)
+    if t_offset is None:
+        t_offset = int(t[0]) if len(t) else 0
+    t = t - t_offset
+    kw = dict(cname="zstd", shuffle=2, clevel=1, chunk=chunk)
+    with h5py.File(path, "w") as f:
+        h5io.write_blosc_dataset(f, "events/x", np.asarray(events["x"], np.uint16), **kw)
+        h5io.write_blosc_dataset(f, "events/y", np.asarray(events["y"], np.uint16), **kw)
+        h5io.write_blosc_dataset(f, "events/p", np.asarray(events["p"], np.uint8), **kw)
+        h5io.write_blosc_dataset(f, "events/t", t.astype(np.uint32), **kw)
+        h5io.write_blosc_dataset(f, "ms_to_idx", create_ms_to_idx(t), **kw)
+        f.create_dataset("t_offset", data=np.int64(t_offset))
+
+
+def test_dsec_reads_blosc_event_files(tmp_path):
+    """The real DSEC files are blosc-compressed (filter 32001); the
+    reader must produce identical events from gzip and blosc variants."""
+    from dagr_tpu.data.dsec import DSECSequence
+
+    rng = np.random.default_rng(3)
+    n = 5000
+    t0 = 1_000_000
+    events = dict(
+        x=rng.integers(0, 320, n).astype(np.uint16),
+        y=rng.integers(0, 240, n).astype(np.uint16),
+        t=np.sort(rng.integers(t0, t0 + 150_000, n)).astype(np.int64),
+        p=rng.integers(0, 2, n).astype(np.uint8),
+    )
+    for name, writer in [("gzip", write_event_h5),
+                         ("blosc", write_event_h5_blosc)]:
+        seq = tmp_path / name / "seq"
+        (seq / "events" / "left").mkdir(parents=True)
+        (seq / "images" / "left" / "rectified").mkdir(parents=True)
+        (seq / "object_detections" / "left").mkdir(parents=True)
+        np.savetxt(seq / "images" / "timestamps.txt", [t0], fmt="%d")
+        np.save(seq / "object_detections" / "left" / "tracks.npy",
+                np.zeros(0, dtype=TRACK_DTYPE))
+        writer(seq / "events" / "left" / "events_2x.h5", events)
+
+    ev_g = DSECSequence(tmp_path / "gzip" / "seq").get_events(t0 + 10_000, t0 + 90_000)
+    ev_b = DSECSequence(tmp_path / "blosc" / "seq").get_events(t0 + 10_000, t0 + 90_000)
+    assert len(ev_g["t"]) > 0
+    for k in "xytp":
+        np.testing.assert_array_equal(ev_g[k], ev_b[k])
+
+
+def test_ncaltech_reads_blosc(tmp_path):
+    import h5py
+
+    from dagr_tpu.data import h5io
+
+    rng = np.random.default_rng(1)
+    cdir = tmp_path / "training" / "class_00"
+    adir = tmp_path / "training" / ".." / "annotations" / "class_00"
+    cdir.mkdir(parents=True)
+    adir.mkdir(parents=True)
+    n = 3000
+    with h5py.File(cdir / "image_0000.h5", "w") as f:
+        kw = dict(cname="zstd", shuffle=2, chunk=512)
+        h5io.write_blosc_dataset(f, "events/x", rng.integers(0, 240, n).astype(np.uint16), **kw)
+        h5io.write_blosc_dataset(f, "events/y", rng.integers(0, 180, n).astype(np.uint16), **kw)
+        h5io.write_blosc_dataset(f, "events/t", np.sort(rng.integers(0, 300_000, n)).astype(np.int64), **kw)
+        h5io.write_blosc_dataset(f, "events/p", (2 * rng.integers(0, 2, n) - 1).astype(np.int8), **kw)
+    ann = np.zeros(10, np.int16)
+    ann[2:10] = [10, 20, 150, 20, 150, 120, 10, 120]
+    with open(adir / "annotation_0000.bin", "wb") as f:
+        ann.tofile(f)
+
+    ds = NCaltech101(tmp_path, "training", num_events=2000)
+    s = ds[0]
+    assert s.num_events == 2000
+    assert s.t[-1] == ds.time_window - 1

@@ -158,3 +158,32 @@ def test_cnn_branch_roundtrip(arch):
     assert tree_shapes(s1) == tree_shapes(s0)
     feats, outs = cnn.apply({"params": p1, "batch_stats": s1}, img)
     assert len(feats) == 5 and len(outs) == 2
+
+
+def test_torch_load_roundtrip(tmp_path):
+    """Exercise the REAL torch.load path of load_reference_checkpoint:
+    torch.save a reference-style {"ema": state_dict} file and check the
+    loaded trees equal the in-memory conversion (the contract of
+    dagr_s_50.pth, reference: download_example_data.sh:6,
+    scripts/run_test.py:57-58)."""
+    import torch
+
+    from dagr_tpu.models.torch_import import load_reference_checkpoint
+
+    cfg = DagrConfig(n_nodes=128, max_neighbors=8, node_chunk=256, radius=0.05)
+    model = DAGR(cfg, height=H, width=W)
+    rng = np.random.default_rng(0)
+    ev = random_events(rng, 1, cfg.n_nodes, width=W, height=H)
+    variables = model.init(jax.random.key(0), ev, train=False)
+    p0 = jax.tree.map(np.asarray, variables["params"])
+    s0 = jax.tree.map(np.asarray, variables["batch_stats"])
+
+    sd = fake_state_dict_from_tree(p0, s0)
+    sd_torch = {k: torch.from_numpy(np.ascontiguousarray(v)) for k, v in sd.items()}
+    path = tmp_path / "dagr_fake.pth"
+    torch.save({"ema": sd_torch, "model": {}, "epoch": 3}, path)
+
+    p1, s1 = load_reference_checkpoint(path, cfg)
+    p_mem, s_mem = convert_backbone_head(sd, num_scales=cfg.num_scales)
+    jax.tree.map(np.testing.assert_array_equal, p1, p_mem)
+    jax.tree.map(np.testing.assert_array_equal, s1, s_mem)
