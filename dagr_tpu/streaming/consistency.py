@@ -112,11 +112,14 @@ def check_consistency(
     n = min(nv, cfg.n_nodes)
     diffs["conv_block1"] = float(np.abs(
         np.asarray(st.x2)[:n] - sync["conv_block1"][0, :n]).max())
-    # level-1 pooled features
-    ns1 = eng._level1_nodeset(st)
-    diffs["pool1"] = float(np.abs(
-        np.asarray(ns1.feat) - sync["pool1"]).max())
-    # final head outputs
-    diffs["raw"] = float(np.abs(np.asarray(raw) - sync["raw"]).max())
+    # every dense-tail stage: pools 1-4, layers 2-5, each head scale,
+    # and the concatenated raw outputs — the full hook-every-module
+    # breadth of the reference harness
+    # (reference: asynchronous/evaluate_flops.py:25-74,240-261)
+    stream = eng.tail_activations(params, stats, st)
+    for name, a in stream.items():
+        ref = sync[name]
+        a = np.asarray(a).reshape(ref.shape)
+        diffs[name] = float(np.abs(a - ref).max())
     ok = all(v <= tol for v in diffs.values())
     return ok, diffs

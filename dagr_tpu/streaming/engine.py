@@ -358,9 +358,16 @@ class StreamingDetector:
         )
 
     def _dense_tail(self, params, batch_stats, state: StreamState,
-                    chunk_nbr_mask, cv, touched1):
+                    chunk_nbr_mask, cv, touched1, collect=None):
         """Levels 2-5 + head, dense recompute (mirrors
-        reference net.py:131-190 + dagr.py:192-236 eval path)."""
+        reference net.py:131-190 + dagr.py:192-236 eval path).
+
+        ``collect`` — optional dict; when given, every stage's
+        activations are recorded into it under the sync_activations
+        naming (pool1..4 / layer2..5 / head_scale* / raw) so the
+        consistency harness can diff EVERY stage, matching the
+        reference's hook-every-module protocol
+        (reference: asynchronous/evaluate_flops.py:25-74,240-261)."""
         cfg = self.cfg
         bb, sb = params["backbone"], batch_stats["backbone"]
         hd, sh = params["head"], batch_stats["head"]
@@ -372,6 +379,8 @@ class StreamingDetector:
             return ns.replace(feat=jnp.concatenate([ns.feat, rel], axis=-1))
 
         ns = self._level1_nodeset(state)
+        if collect is not None:
+            collect["pool1"] = ns.feat
         outs = []
         flops: Dict[str, jnp.ndarray] = {}
 
@@ -407,6 +416,8 @@ class StreamingDetector:
                     flops[f"{name}.conv_block{conv_i + 1}"] = f
                     changed = aff
             ns = layer_eval(bb[name], sb[name], ns, self.mv[li + 1], act)
+            if collect is not None:
+                collect[name] = ns.feat
             if name == "layer4":
                 outs.append(ns)
                 if self.count_flops:
@@ -419,6 +430,8 @@ class StreamingDetector:
                     aggr="mean" if li == 2 else cfg.pooling_aggr,
                     keep_temporal_ordering=cfg.keep_temporal_ordering,
                 )
+                if collect is not None:
+                    collect[f"pool{li + 2}"] = ns.feat
                 if self.count_flops:
                     # pooled changed set: parent cells of changed cells
                     ny0, nx0 = self.grids[li][0], self.grids[li][1]
@@ -458,12 +471,36 @@ class StreamingDetector:
             cls_o, reg_o, obj_o = scale_head_eval(
                 hd[f"scale{k + 1}"], sh[f"scale{k + 1}"], o, mvs[k], act)
             out = jnp.concatenate([reg_o, obj_o, cls_o], axis=-1)
+            if collect is not None:
+                collect[f"head_scale{k + 1}"] = out
             raws.append(out.reshape(1, -1, out.shape[-1]))
         raw = jnp.concatenate(raws, axis=1)
+        if collect is not None:
+            collect["raw"] = raw
         flops["total"] = (
             sum(jax.tree.leaves(flops)) if flops else jnp.zeros((), jnp.int32)
         )
         return raw, flops
+
+    # ------------------------------------------------------------------
+    def tail_activations(self, params, batch_stats,
+                         state: StreamState) -> Dict[str, jnp.ndarray]:
+        """Re-run the dense tail on the current state, collecting every
+        stage (pool1..4, layer2..5, head_scale*, raw) for the
+        consistency harness.  Not part of the hot step."""
+        acts: Dict[str, jnp.ndarray] = {}
+        cf, self.count_flops = self.count_flops, False
+        try:
+            self._dense_tail(
+                params, batch_stats, state,
+                jnp.zeros((1, self.cfg.max_neighbors), bool),
+                jnp.zeros((1,), bool),
+                jnp.zeros((self.ny1 * self.nx1,), bool),
+                collect=acts,
+            )
+        finally:
+            self.count_flops = cf
+        return acts
 
     # ------------------------------------------------------------------
     def make_step(self, params, batch_stats):

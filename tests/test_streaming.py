@@ -102,8 +102,13 @@ def test_per_layer_consistency_harness():
     model, variables, ev = setup_model()
     ok, diffs = check_consistency(variables, ev, CFG, H, W, chunk=128)
     assert ok, diffs
-    assert set(diffs) >= {"conv_block1", "pool1", "raw"}
-    assert all(v < 1e-3 for v in diffs.values())
+    # hook-every-module breadth (reference evaluate_flops.py:240-261):
+    # event level, all 4 pools, all 4 layers, every head scale, raw
+    expected = {"conv_block1", "pool1", "pool2", "pool3", "pool4",
+                "layer2", "layer3", "layer4", "layer5", "raw"}
+    expected |= {f"head_scale{k + 1}" for k in range(CFG.num_scales)}
+    assert set(diffs) >= expected, sorted(diffs)
+    assert all(v < 1e-3 for v in diffs.values()), diffs
 
 
 def test_flops_accounting_sparse():
