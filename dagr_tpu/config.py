@@ -36,6 +36,9 @@ class DagrConfig:
     checkpoint: str = ""
     img_net_checkpoint: str = ""
     exp_name: str = "default"
+    # validation bbox-overlay images written per eval epoch (reference
+    # logs these to wandb, utils/logging.py:119-211)
+    n_viz_images: int = 4
 
     # graph params (reference: config/dagr-s-dsec.yaml:8-12)
     radius: float = 0.01

@@ -9,18 +9,25 @@ with a single-shot sort-merge join:
     pixel p older than event i and within delta_t" is a contiguous run
     of the sorted array.
 2.  The run bounds for every (event, spiral-cell) candidate are
-    obtained by ONE multi-key sort of data records + count queries
-    (a lex merge join) plus cumulative sums — no per-query binary
-    search.  The spiral pixel order (reference: src/dagr/graph/spiral.h)
-    is a static list of S=(2r+1)^2 offsets; the first K-1 candidates in
-    (spiral order, recency) are selected with a tiny bisect over the
+    obtained by ONE multi-key sort over insert / expire / query records
+    (a lex merge join on (pixel, time, tie)) plus two cumulative sums —
+    no per-query binary search.  Each data event contributes an insert
+    record at t and an expire record at t + delta_t; per-pixel
+    insert/expire totals are equal, so the two global prefix sums read
+    at a query record directly give the event's data position and the
+    dt-window lower bound.  The spiral pixel order
+    (reference: src/dagr/graph/spiral.h) is a static list of
+    S=(2r+1)^2 offsets; the first K-1 candidates in (spiral order,
+    recency) are selected with fused compare-and-reduce over the
     per-event cumulative counts — bit-identical neighbor selection to
     the CUDA kernel's tie-breaking.
 
-The formulation is tuned to the accelerator's cost model: sorts,
-cumsums, elementwise and take_along_axis are fast; per-row gathers and
-long sequential op chains (lax.map / searchsorted) are catastrophically
-slow, so everything is a handful of large fused array ops.
+The formulation is tuned to the accelerator's cost model (measured,
+scripts/microbench.py): sorts ~3.5 ms/M records, cumsums and
+elementwise ops fast, but gathers ~7 ms/M indices and sequential op
+chains (lax.map / searchsorted / bisect loops) catastrophically slow —
+so everything is a handful of large fused array ops and the only
+gathers left are the final neighbor picks.
 """
 from __future__ import annotations
 
@@ -45,34 +52,28 @@ def _take(a: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
 
 def _select_first_k(cnt, hi, order, K, M):
     """Pick the first K-1 candidates in (spiral order, recency)
-    priority.  cnt, hi: [M, S]; returns (src [M, K-1], valid)."""
-    S = cnt.shape[1]
+    priority.  cnt, hi: [M, S]; returns (src [M, K-1], valid).
+
+    The k-th candidate lives in the first spiral cell whose cumulative
+    count exceeds k.  Rather than bisecting per (event, k) — gathers
+    are the slow primitive on this backend — everything is a fused
+    compare-and-reduce over the S axis (pure VPU, no gathers):
+    ``cum`` is nondecreasing over s, so {s : cum[s] <= k} is a prefix
+    whose length is the selected cell, its weighted sums recover the
+    cell's cumulative offset and data-segment end, and the only gather
+    left is the final (unavoidable) pick from ``order``."""
     cum = jnp.cumsum(cnt, axis=-1)                       # [M, S]
     slots = jnp.arange(K - 1, dtype=jnp.int32)           # [K-1]
     k_b = jnp.broadcast_to(slots[None], (cnt.shape[0], K - 1))
 
-    # first spiral cell where cum > k: bisect over the (ascending) row
-    lo = jnp.zeros_like(k_b)
-    hi_b = jnp.full_like(k_b, S)
-
-    def body(_, lh):
-        lo, hi_ = lh
-        mid = (lo + hi_) // 2
-        v = jnp.take_along_axis(cum, jnp.clip(mid, 0, S - 1), axis=1)
-        go = (v <= k_b) & (lo < hi_)
-        return jnp.where(go, mid + 1, lo), jnp.where(go, hi_, mid)
-
-    iters = int(np.ceil(np.log2(S))) + 1
-    s_sel, _ = jax.lax.fori_loop(0, iters, body, (lo, hi_b))
+    le = cum[:, :, None] <= slots[None, None, :]         # [M, S, K-1]
+    cum_prev = jnp.sum(cnt[:, :, None] * le, axis=1)     # cum[s_sel - 1]
+    # cell s == s_sel  <=>  cum[s] > k and cum[s] - cnt[s] <= k (unique)
+    at_sel = jnp.logical_not(le) & ((cum - cnt)[:, :, None] <= slots)
+    hi_sel = jnp.sum(hi[:, :, None] * at_sel, axis=1)
     any_hit = cum[:, -1:] > k_b
 
-    cum_prev = jnp.where(
-        s_sel > 0,
-        jnp.take_along_axis(cum, jnp.clip(s_sel - 1, 0, S - 1), axis=1),
-        0,
-    )
     within = k_b - cum_prev
-    hi_sel = jnp.take_along_axis(hi, jnp.clip(s_sel, 0, S - 1), axis=1)
     sorted_pos = jnp.clip(hi_sel - 1 - within, 0, M - 1)
     src_flat = _take(order, sorted_pos)
     return src_flat, any_hit
@@ -117,31 +118,9 @@ def build_graph(
     # stable sort by pixel: within a pixel, slot order == time order
     order = jnp.argsort(lin_f, stable=True).astype(jnp.int32)   # [M]
 
-    # per-pixel segment ENDS (cumulative histogram)
+    # per-pixel event counts (cap check) + segment ENDS (queue cap)
     hist = jnp.zeros(B * HW + 1, jnp.int32).at[lin_f].add(
         mask.reshape(M).astype(jnp.int32))
-    seg_end_table = jnp.cumsum(hist[:-1], dtype=jnp.int32)      # [B*HW]
-
-    # global dt-threshold slot per event: first within-sample slot with
-    # t >= t_e - delta_t (times ascending per sample) via bisect.
-    # invalid tail times -> +inf so the bisected array is monotone
-    tq = t - delta_t_us
-    t_mono = jnp.where(mask, t, np.int32(2**31 - 1))
-
-    def tbody(_, lh):
-        lo, hi = lh
-        mid = (lo + hi) // 2
-        v = jnp.take_along_axis(t_mono, jnp.clip(mid, 0, N - 1), axis=1)
-        go = (v < tq) & (lo < hi)
-        return jnp.where(go, mid + 1, lo), jnp.where(go, hi, mid)
-
-    iters_t = int(np.ceil(np.log2(max(N, 2)))) + 1
-    s_dt, _ = jax.lax.fori_loop(
-        0, iters_t,
-        tbody,
-        (jnp.zeros((B, N), jnp.int32), jnp.full((B, N), N, jnp.int32)),
-    )
-    s_dt_flat = (s_dt + jnp.arange(B, dtype=jnp.int32)[:, None] * N).reshape(M)
 
     # candidate pixels: [M, S]
     xn = x.reshape(M)[:, None] + offs[None, :, 0]
@@ -153,37 +132,60 @@ def build_graph(
     bq = jnp.repeat(jnp.arange(B, dtype=jnp.int32), N)[:, None]
     qpix = jnp.where(inb, bq * HW + yn * width + xn, PAD)       # [M, S]
 
-    # ---- lex merge join: count data records < (pixel, slot) ----------
-    # records: data (pixel=lin, slot=flat index) and two query streams
-    # (slot = own flat index -> hi bound; slot = dt threshold -> t bound)
+    # ---- lex merge join over (pixel, time, tie) ----------------------
+    # Three record types in ONE sort (keys: pixel, time, tie; +payload):
+    #   insert_j at (lin_j, t_j)      — a data event entering the queue
+    #   expire_j at (lin_j, t_j + dt) — the same event leaving the dt
+    #                                    window (t_j < t_e - dt  <=>
+    #                                    t_j + dt < t_e)
+    #   query_(e,s) at (qpix, t_e)    — one per spiral cell
+    # Per-pixel insert/expire totals are equal, so the cross-pixel terms
+    # of the two global prefix sums cancel and, at a query record,
+    #   prefix_insert = global data position (pixel-major) of t_e
+    #   prefix_insert - prefix_expire = #data within the dt window.
+    # This halves the sorted records vs. emitting a second query stream
+    # for the dt bound and kills the per-event dt bisect entirely.
+    # Tie order at equal (pixel, time): inserts with smaller slot ->
+    # query e -> everything else; the dt window is inclusive
+    # (reference: ev_graph.cu:64-66), so expire(t_j+dt == t_e) sorts
+    # AFTER the query via tie = 2M + slot.
     e_flat = jnp.arange(M, dtype=jnp.int32)
-    d_pix = lin_f
-    d_slot = e_flat
-    q1_pix = qpix.reshape(-1)                                   # [M*S]
-    q1_slot = jnp.repeat(e_flat, S)
-    q2_pix = q1_pix
-    q2_slot = jnp.repeat(s_dt_flat, S)
-
-    pix_all = jnp.concatenate([d_pix, q1_pix, q2_pix])
-    # tie-break: queries (slot2 even) sort BEFORE data (slot2 odd) at
-    # equal (pixel, slot) -> strict "data < query" counting
-    slot_all = jnp.concatenate([
-        d_slot * 2 + 1, q1_slot * 2, q2_slot * 2,
+    pix_all = jnp.concatenate([lin_f, lin_f, qpix.reshape(-1)])
+    t_all = jnp.concatenate([
+        t.reshape(M), t.reshape(M) + delta_t_us, jnp.repeat(t.reshape(M), S),
+    ])
+    tie_all = jnp.concatenate([
+        e_flat * 2 + 1,                          # insert: odd, < 2M
+        e_flat + np.int32(2 * M),                # expire: >= 2M
+        jnp.repeat(e_flat, S) * 2,               # query:  even, < 2M
     ])
     payload = jnp.arange(pix_all.shape[0], dtype=jnp.int32)
-    _, slot_s, pay_s = jax.lax.sort(
-        (pix_all, slot_all, payload), num_keys=2)
-    is_data = (slot_s & 1).astype(jnp.int32)
-    prefix_data = jnp.cumsum(is_data, dtype=jnp.int32) - is_data
-    # unsort via kv sort on payload (scatter is slower on this backend)
-    _, counts = jax.lax.sort((pay_s, prefix_data), num_keys=1)
-
-    cnt_hi = counts[M:M + M * S].reshape(M, S)                  # pos_i
-    cnt_t = counts[M + M * S:].reshape(M, S)                    # t low bound
+    _, _, tie_s, pay_s = jax.lax.sort(
+        (pix_all, t_all, tie_all, payload), num_keys=3)
+    is_exp = (tie_s >= np.int32(2 * M)).astype(jnp.int32)
+    is_ins = (tie_s & 1) * (1 - is_exp)
+    pref_ins = jnp.cumsum(is_ins, dtype=jnp.int32) - is_ins
+    pref_exp = jnp.cumsum(is_exp, dtype=jnp.int32) - is_exp
+    # unsort via kv sort (scatter is slower on this backend); when both
+    # prefixes fit 16 bits they ride one uint32 word so the unsort is a
+    # single 2-operand sort
+    if M < (1 << 16):
+        packed = (pref_ins.astype(jnp.uint32) << 16) \
+            | pref_exp.astype(jnp.uint32)
+        _, packed_u = jax.lax.sort((pay_s, packed), num_keys=1)
+        pq = packed_u[2 * M:]
+        cnt_hi = (pq >> 16).astype(jnp.int32).reshape(M, S)   # data pos of e
+        cnt_t = (pq & 0xFFFF).astype(jnp.int32).reshape(M, S)  # dt low bound
+    else:
+        _, ins_u, exp_u = jax.lax.sort(
+            (pay_s, pref_ins, pref_exp), num_keys=1)
+        cnt_hi = ins_u[2 * M:].reshape(M, S)
+        cnt_t = exp_u[2 * M:].reshape(M, S)
 
     # queue cap: only bites when some pixel holds > queue_size events
     # in the window (hot pixels); skip the [M, S] table gather otherwise
     def with_cap(_):
+        seg_end_table = jnp.cumsum(hist[:-1], dtype=jnp.int32)  # [B*HW]
         g_hi = _take(seg_end_table, jnp.clip(qpix, 0, B * HW - 1))
         return jnp.where(inb, g_hi, 0) - queue_size
 

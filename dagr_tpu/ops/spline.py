@@ -86,7 +86,7 @@ def edge_basis(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("kernel_size", "max_value", "node_chunk"),
+    static_argnames=("kernel_size", "max_value", "node_chunk", "impl"),
 )
 def spline_conv(
     x: jnp.ndarray,            # f32 [B, N, Cin]
@@ -101,12 +101,23 @@ def spline_conv(
     max_value: float,
     kernel_size: int = 5,
     node_chunk: int = 2048,
+    impl: str = "node",
 ) -> jnp.ndarray:
     """Masked spline message passing; returns [B, N, Cout].
 
     Matches MySplineConv._forward (reference: spline_conv.py:64-78):
     out = sum_{src in nbr} basis(attr) . W . x_src  (+ x @ root) (+ b).
     Invalid slots and invalid nodes contribute nothing.
+
+    impl:
+    * "node" — factored: aggregate basis-weighted sources per (dst, tap)
+      first (``g[n,p,c] = sum_k basis·x_src``, a small batched VPU
+      contraction), then ONE node-level MXU matmul
+      ``g.reshape(N, P*Cin) @ W``.  MXU FLOPs per node drop from
+      K·Cin·P·Cout to P·Cin·Cout — ~K·Cout/(K+Cout) = 8x fewer at both
+      the event level (K=16) and the pooled stencils (K=9, Cout=64).
+    * "edge" — edge-major: per-edge ``z = x_src @ W[Cin, P*Cout]`` then
+      a VPU contraction with the basis.  Kept as the numerics oracle.
     """
     B, N, cin = x.shape
     K = nbr.shape[-1]
@@ -150,6 +161,16 @@ def spline_conv(
             b_c = bilinear_basis(jnp.clip(attr, 0.0, 1.0), kernel_size)
         else:
             b_c = basis_c.reshape(T * K, P)
+        if impl == "node":
+            b_m = b_c.reshape(T, K, P) * mask_c[..., None]
+            # g[t, p, c] = sum_k basis[t, k, p] * x_src[t, k, c]
+            g = jax.lax.dot_general(
+                b_m, x_src.reshape(T, K, cin),
+                dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32)           # [T, P, Cin]
+            w_flat = weight.reshape(P * cin, cout)
+            return jnp.dot(g.reshape(T, P * cin), w_flat,
+                           preferred_element_type=jnp.float32)
         msg = _edge_messages(x_src, b_c, weight)              # [T*K, Cout]
         msg = msg.reshape(T, K, cout) * mask_c[..., None]
         return msg.sum(axis=1)

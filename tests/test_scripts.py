@@ -50,6 +50,10 @@ def test_train_script_one_epoch(dsec_env, tmp_path, monkeypatch):
     assert (run_dir / "hparams.json").exists()
     assert (run_dir / "metrics.jsonl").exists()
     assert (run_dir / "last_model").exists()
+    # validation bbox overlays written during the epoch-0 eval
+    # (reference: utils/logging.py:119-211 wandb image logging)
+    viz = sorted((run_dir / "viz_epoch_0").glob("*.png"))
+    assert viz, "no bbox-overlay images written during validation"
 
 
 def test_run_test_script(dsec_env, tmp_path, monkeypatch, capsys):

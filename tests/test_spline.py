@@ -107,3 +107,23 @@ def test_grad_flows(rng):
     g = jax.grad(loss, argnums=(0, 1, 2))(W, Wr, x)
     assert all(bool(jnp.isfinite(gi).all()) for gi in g)
     assert float(jnp.abs(g[0]).sum()) > 0
+
+
+def test_impl_node_matches_edge(rng):
+    """The factored 'node' formulation must match the edge-major oracle."""
+    import jax.numpy as jnp
+
+    from dagr_tpu.ops.spline import spline_conv
+
+    B, N, K, cin, cout = 2, 300, 7, 5, 6
+    x = jnp.asarray(rng.random((B, N, cin), np.float32))
+    pos = jnp.asarray(rng.random((B, N, 3), np.float32))
+    nbr = jnp.asarray(rng.integers(0, N, (B, N, K), dtype=np.int32))
+    mask = jnp.asarray(rng.random((B, N, K)) < 0.5)
+    w = jnp.asarray(rng.standard_normal((25, cin, cout), np.float32) * 0.2)
+    root = jnp.asarray(rng.standard_normal((cin, cout), np.float32) * 0.2)
+    kw = dict(max_value=0.05, node_chunk=128)
+    a = spline_conv(x, pos, nbr, mask, w, root, impl="edge", **kw)
+    b = spline_conv(x, pos, nbr, mask, w, root, impl="node", **kw)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                               atol=2e-5, rtol=2e-5)
