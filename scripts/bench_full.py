@@ -35,7 +35,7 @@ def main():
 
     def run(variables, stack, bump):
         def step(c, ev):
-            ev = ev.replace(feat=ev.feat + 0 * c)
+            ev = ev.replace(feat=jnp.where(c < -1e9, 0.0, ev.feat))
             raw = model.apply(variables, ev, train=False)
             det = detect(raw, cfg, H, W)
             return c + det["scores"][0, 0], det["scores"].sum()

@@ -89,7 +89,10 @@ def main():
 
         def run(stack, bump):
             def step(c, ev):
-                ev = ev.replace(feat=ev.feat + 0 * c)
+                # unfoldable perturbation: ties every iteration's data to
+                # the per-call bump so the runtime's replay cache can't
+                # serve a previous call's result
+                ev = ev.replace(feat=jnp.where(c < -1e9, 0.0, ev.feat))
                 return c + fwd(ev), ()
             c, _ = jax.lax.scan(step, bump, stack)
             return c
