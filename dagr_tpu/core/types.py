@@ -61,6 +61,12 @@ class EventGraph:
 
     nbr: jnp.ndarray       # i32 [B, N, K]  source index per (dst, slot)
     nbr_mask: jnp.ndarray  # bool [B, N, K] valid edge slots
+    # normalized (dx, dy) = pos_src - pos_dst per edge, emitted by the
+    # graph builder as a by-product of spiral-cell selection.  Carrying
+    # the edge GEOMETRY algebraically lets the conv basis and the
+    # pooled-cell mapping be computed without per-edge position
+    # gathers — gathers are the dominant cost on this backend.
+    nbr_dpos: Optional[jnp.ndarray] = None   # f32 [B, N, K, 2]
 
     @property
     def max_neighbors(self) -> int:

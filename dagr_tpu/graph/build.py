@@ -43,16 +43,23 @@ from dagr_tpu.graph.reference import spiral_offsets
 
 
 def _take(a: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
-    """Flat scalar gather via take_along_axis (fast path on axon)."""
+    """Flat gather from a 1-D table.
+
+    Measured backend quirk (scripts/microbench2.py): a width-1 gather
+    costs ~6x more PER INDEX than a width>=2 row gather, so the table
+    is widened to two identical columns and one column of the row
+    gather is kept."""
     shape = idx.shape
-    out = jnp.take_along_axis(
-        a.reshape(1, -1), idx.reshape(1, -1), axis=1)
-    return out.reshape(shape)
+    a2 = jnp.stack([a, a], axis=-1)                   # [N, 2]
+    out = jnp.take_along_axis(a2, idx.reshape(-1)[:, None], axis=0)
+    return out[:, 0].reshape(shape)
 
 
-def _select_first_k(cnt, hi, order, K, M):
+def _select_first_k(cnt, hi, order, K, M, cell_code=None):
     """Pick the first K-1 candidates in (spiral order, recency)
-    priority.  cnt, hi: [M, S]; returns (src [M, K-1], valid).
+    priority.  cnt, hi: [M, S]; returns (src [M, K-1], valid
+    [, per-edge cell code — one more weighted reduce when
+    ``cell_code`` [S] is given]).
 
     The k-th candidate lives in the first spiral cell whose cumulative
     count exceeds k.  Rather than bisecting per (event, k) — gathers
@@ -76,7 +83,11 @@ def _select_first_k(cnt, hi, order, K, M):
     within = k_b - cum_prev
     sorted_pos = jnp.clip(hi_sel - 1 - within, 0, M - 1)
     src_flat = _take(order, sorted_pos)
-    return src_flat, any_hit
+    if cell_code is None:
+        return src_flat, any_hit
+    code_sel = jnp.sum(
+        jnp.asarray(cell_code, jnp.int32)[None, :, None] * at_sel, axis=1)
+    return src_flat, any_hit, code_sel
 
 
 @functools.partial(
@@ -195,7 +206,13 @@ def build_graph(
     lo = jnp.maximum(cap_lo, cnt_t)
     cnt = jnp.where(inb, jnp.maximum(cnt_hi - lo, 0), 0)        # [M, S]
 
-    src_flat, any_hit = _select_first_k(cnt, cnt_hi, order, K, M)
+    # per-edge spiral cell packed as (dx+R) + 64*(dy+R): emitting the
+    # edge geometry here (one extra fused reduce) saves downstream
+    # per-edge position gathers in the conv basis and pool-cell mapping
+    R = radius
+    cell_code = (offs[:, 0] + R) + 64 * (offs[:, 1] + R)
+    src_flat, any_hit, code_sel = _select_first_k(
+        cnt, cnt_hi, order, K, M, cell_code)
     src = src_flat - jnp.repeat(
         jnp.arange(B, dtype=jnp.int32) * N, N)[:, None]
     valid = any_hit & mask.reshape(M)[:, None]
@@ -206,7 +223,15 @@ def build_graph(
     self_idx = jnp.tile(jnp.arange(N, dtype=jnp.int32)[None, :, None], (B, 1, 1))
     nbr = jnp.concatenate([self_idx, nbr_rest], axis=-1)
     nbr_mask = jnp.concatenate([mask[..., None], mask_rest], axis=-1)
-    return EventGraph(nbr=nbr.astype(jnp.int32), nbr_mask=nbr_mask)
+
+    code = code_sel.reshape(B, N, K - 1)
+    dxe = (code % 64 - R).astype(jnp.float32) / np.float32(width)
+    dye = (code // 64 - R).astype(jnp.float32) / np.float32(height)
+    dpos_rest = jnp.stack([dxe, dye], axis=-1)          # [B, N, K-1, 2]
+    dpos = jnp.concatenate(
+        [jnp.zeros((B, N, 1, 2), jnp.float32), dpos_rest], axis=2)
+    return EventGraph(nbr=nbr.astype(jnp.int32), nbr_mask=nbr_mask,
+                      nbr_dpos=dpos)
 
 
 @functools.partial(

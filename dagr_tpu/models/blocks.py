@@ -71,9 +71,10 @@ class SplineConvLayer(nn.Module):
         return self.w, self.root_w, self.b
 
     def __call__(self, ns: NodeSet, basis=None) -> jnp.ndarray:
-        return spline_conv(
-            ns.feat, ns.pos, ns.graph.nbr, ns.graph.nbr_mask,
-            self.w, self.root_w, self.b, basis,
+        from dagr_tpu.ops.spline import nodeset_conv
+
+        return nodeset_conv(
+            ns, self.w, self.root_w, self.b, basis,
             max_value=self.max_value, kernel_size=self.kernel_size,
             node_chunk=self.node_chunk,
         )
@@ -195,17 +196,15 @@ class Layer(nn.Module):
     @nn.compact
     def __call__(self, ns: NodeSet, train: bool = False) -> NodeSet:
         skip_feat = ns.feat
-        # small pooled levels: compute the edge basis once, share it
-        # across both convs (cheap; skipped at the big event level where
-        # materializing [N, K, 25] costs more than recomputing)
-        basis = None
-        if ns.num_nodes <= 4096:
-            from dagr_tpu.ops.spline import edge_basis
+        # compute the level's conv basis once and share it across both
+        # convs — at the event level this trades an 80 MB [N, K, 25]
+        # buffer for the second conv's 800k-index position gather
+        # (gathers, not dense HBM reads, are the slow primitive here)
+        from dagr_tpu.ops.spline import level_basis
 
-            basis = edge_basis(
-                ns.pos, ns.graph.nbr, max_value=self.max_value,
-                kernel_size=self.kernel_size,
-            )
+        basis = level_basis(
+            ns, max_value=self.max_value, kernel_size=self.kernel_size,
+        )
         ns = ConvBlock(
             self.in_channels, self.out_channels, self.max_value,
             self.activation, self.kernel_size, self.node_chunk,

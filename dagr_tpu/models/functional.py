@@ -18,7 +18,9 @@ import jax.numpy as jnp
 
 from dagr_tpu.core.types import NodeSet
 from dagr_tpu.models.blocks import activation_fn
-from dagr_tpu.ops.spline import bilinear_basis, spline_conv
+from dagr_tpu.ops.spline import (
+    bilinear_basis, level_basis, nodeset_conv, spline_conv,
+)
 
 BN_EPS = 1e-5
 
@@ -31,9 +33,8 @@ def bn_eval(x, params, stats):
 def conv_block_eval(p, s, ns: NodeSet, max_value: float, activation: str,
                     node_chunk: int = 2048, basis=None) -> jnp.ndarray:
     """ConvBlock in eval mode (reference: conv.py:10-28)."""
-    x = spline_conv(
-        ns.feat, ns.pos, ns.graph.nbr, ns.graph.nbr_mask,
-        p["conv"]["weight"], p["conv"]["root"], None, basis,
+    x = nodeset_conv(
+        ns, p["conv"]["weight"], p["conv"]["root"], None, basis,
         max_value=max_value, node_chunk=node_chunk,
     )
     x = bn_eval(x, p["norm"], s["norm"])
@@ -45,17 +46,14 @@ def layer_eval(p, s, ns: NodeSet, max_value: float, activation: str,
                node_chunk: int = 2048) -> NodeSet:
     """Layer in eval mode (reference: conv.py:59-72)."""
     skip = ns.feat
-    basis = None
-    if ns.num_nodes <= 4096:
-        from dagr_tpu.ops.spline import edge_basis
-
-        basis = edge_basis(ns.pos, ns.graph.nbr, max_value=max_value)
+    # basis shared across both convs (see models/blocks.py Layer)
+    basis = level_basis(ns, max_value=max_value)
     x1 = conv_block_eval(p["conv_block1"], s["conv_block1"], ns,
                          max_value, activation, node_chunk, basis)
     ns1 = ns.replace(feat=x1)
-    x2 = spline_conv(
-        ns1.feat, ns1.pos, ns1.graph.nbr, ns1.graph.nbr_mask,
-        p["conv_block2"]["conv"]["weight"], p["conv_block2"]["conv"]["root"],
+    x2 = nodeset_conv(
+        ns1, p["conv_block2"]["conv"]["weight"],
+        p["conv_block2"]["conv"]["root"],
         None, basis, max_value=max_value, node_chunk=node_chunk,
     )
     x2 = bn_eval(x2, p["conv_block2"]["norm"], s["conv_block2"]["norm"])
@@ -69,9 +67,8 @@ def pred_eval(p, ns: NodeSet, max_value: float,
               node_chunk: int = 2048, basis=None) -> jnp.ndarray:
     """SplineConvToDense's conv part (bias=True, reference:
     spline_conv.py:110-118); canvas reshape is done by the caller."""
-    return spline_conv(
-        ns.feat, ns.pos, ns.graph.nbr, ns.graph.nbr_mask,
-        p["weight"], p["root"], p["bias"], basis,
+    return nodeset_conv(
+        ns, p["weight"], p["root"], p["bias"], basis,
         max_value=max_value, node_chunk=node_chunk,
     )
 
@@ -80,9 +77,7 @@ def scale_head_eval(p, s, ns: NodeSet, max_value: float, activation: str,
                     node_chunk: int = 2048):
     """ScaleHead in eval mode (reference: dagr.py:179-190).  Returns
     (cls, reg, obj) dense canvases [B, ny, nx, C]."""
-    from dagr_tpu.ops.spline import edge_basis
-
-    basis = edge_basis(ns.pos, ns.graph.nbr, max_value=max_value)
+    basis = level_basis(ns, max_value=max_value)
     ns = ns.replace(feat=conv_block_eval(
         p["stem"], s["stem"], ns, max_value, activation, node_chunk, basis))
     cls_f = ns.replace(feat=conv_block_eval(

@@ -30,14 +30,14 @@ def fused_pred(layers, ns, *, max_value, kernel_size, node_chunk,
     """Run several SplineConvLayers that share the same input NodeSet as
     ONE conv over concatenated output channels (parameter trees stay
     separate; only the compute fuses)."""
-    from dagr_tpu.ops.spline import spline_conv
+    from dagr_tpu.ops.spline import nodeset_conv
 
     ws, rs, bs = zip(*[l.tensors() for l in layers])
     w = jnp.concatenate(ws, axis=-1)
     r = jnp.concatenate(rs, axis=-1) if rs[0] is not None else None
     b = jnp.concatenate(bs) if bs[0] is not None else None
-    return spline_conv(
-        ns.feat, ns.pos, ns.graph.nbr, ns.graph.nbr_mask, w, r, b, basis,
+    return nodeset_conv(
+        ns, w, r, b, basis,
         max_value=max_value, kernel_size=kernel_size, node_chunk=node_chunk,
     )
 
@@ -76,11 +76,11 @@ class ScaleHead(nn.Module):
             max_value=self.max_value, activation=self.activation,
             kernel_size=self.kernel_size, node_chunk=self.node_chunk,
         )
-        # all six convs of this scale share the level's edge basis
-        from dagr_tpu.ops.spline import edge_basis
+        # all six convs of this scale share the level's conv basis
+        from dagr_tpu.ops.spline import level_basis
 
-        basis = edge_basis(ns.pos, ns.graph.nbr, max_value=self.max_value,
-                           kernel_size=self.kernel_size)
+        basis = level_basis(ns, max_value=self.max_value,
+                            kernel_size=self.kernel_size)
         ns = ConvBlock(self.in_channels, self.n_reg, name="stem",
                        **kw)(ns, train, basis)
         cls_feat = ConvBlock(self.n_reg, self.n_reg, name="cls_conv",

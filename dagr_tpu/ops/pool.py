@@ -48,6 +48,7 @@ def pool_graph(
     mask: jnp.ndarray,        # bool [B, N]
     nbr: jnp.ndarray,         # i32 [B, N, K]
     nbr_mask: jnp.ndarray,    # bool [B, N, K]
+    nbr_dpos: jnp.ndarray = None,   # f32 [B, N, K, 2] builder edge deltas
     *,
     grid_ny: int,
     grid_nx: int,
@@ -106,16 +107,35 @@ def pool_graph(
 
     # ---- pool the fine edges into stencil adjacency ----------------------
     K = nbr.shape[-1]
-    src = jnp.clip(nbr, 0, N - 1)
-    c_src_x = jnp.take_along_axis(cx, src.reshape(B, -1), axis=1).reshape(B, N, K)
-    c_src_y = jnp.take_along_axis(cy, src.reshape(B, -1), axis=1).reshape(B, N, K)
+    if nbr_dpos is not None:
+        # edge geometry is algebraic (graph builder by-product): recover
+        # the source's integer pixel as dst_px + delta_px and normalize
+        # by the SAME float division that produced the stored positions,
+        # so the cell assignment is bit-identical to gathering the
+        # source's own position — and needs no per-edge gathers
+        x_dst_px = jnp.floor(pos[..., 0:1] * width + 1e-3)
+        y_dst_px = jnp.floor(pos[..., 1:2] * height + 1e-3)
+        sxn = (x_dst_px + jnp.round(nbr_dpos[..., 0] * width)) / width
+        syn = (y_dst_px + jnp.round(nbr_dpos[..., 1] * height)) / height
+        sx = jnp.clip(sxn, 0.0, 0.9999999)
+        sy = jnp.clip(syn, 0.0, 0.9999999)
+        c_src_x = jnp.clip((sx * grid_nx).astype(jnp.int32), 0, grid_nx - 1)
+        c_src_y = jnp.clip((sy * grid_ny).astype(jnp.int32), 0, grid_ny - 1)
+        # builder edges are masked iff src is a valid event
+        src_valid = nbr_mask
+    else:
+        src = jnp.clip(nbr, 0, N - 1)
+        c_src_x = jnp.take_along_axis(
+            cx, src.reshape(B, -1), axis=1).reshape(B, N, K)
+        c_src_y = jnp.take_along_axis(
+            cy, src.reshape(B, -1), axis=1).reshape(B, N, K)
+        src_valid = jnp.take_along_axis(
+            mask, src.reshape(B, -1), axis=1
+        ).reshape(B, N, K)
     dx = c_src_x - cx[..., None]
     dy = c_src_y - cy[..., None]
     in_stencil = (jnp.abs(dx) <= 1) & (jnp.abs(dy) <= 1)
     o = (dy + 1) * 3 + (dx + 1)                               # GRID_OFFSETS order
-    src_valid = jnp.take_along_axis(
-        mask, src.reshape(B, -1), axis=1
-    ).reshape(B, N, K)
     evalid = nbr_mask & mask[..., None] & src_valid & in_stencil
     if not self_loop:
         evalid = evalid & (o != GRID_SELF_OFFSET)             # pooling.py:62
@@ -163,6 +183,7 @@ def pool_nodeset(
     """NodeSet-level wrapper (mirrors Pooling.forward, pooling.py:51-97)."""
     feat, pos, mask, nbr, nbr_mask, tmax = pool_graph(
         ns.feat, ns.pos, ns.mask, ns.graph.nbr, ns.graph.nbr_mask,
+        ns.graph.nbr_dpos,
         grid_ny=grid_ny, grid_nx=grid_nx, width=width, height=height,
         aggr=aggr, keep_temporal_ordering=keep_temporal_ordering,
     )

@@ -84,6 +84,137 @@ def edge_basis(
     return bilinear_basis(jnp.clip(attr, 0.0, 1.0), kernel_size)
 
 
+def _shift2d(c: jnp.ndarray, dy: int, dx: int) -> jnp.ndarray:
+    """value at (y, x) of the result = c[y + dy, x + dx], zero-padded.
+    c: [B, ny, nx, C]."""
+    B, ny, nx, C = c.shape
+    out = c
+    if dy:
+        pad = jnp.zeros((B, abs(dy), nx, C), c.dtype)
+        out = (jnp.concatenate([out[:, dy:], pad], axis=1) if dy > 0
+               else jnp.concatenate([pad, out[:, :dy]], axis=1))
+    if dx:
+        pad = jnp.zeros((B, ny, abs(dx), C), c.dtype)
+        out = (jnp.concatenate([out[:, :, dx:], pad], axis=2) if dx > 0
+               else jnp.concatenate([pad, out[:, :, :dx]], axis=2))
+    return out
+
+
+def stencil_basis(
+    pos: jnp.ndarray,        # f32 [B, G, >=2]
+    *,
+    grid_hw,
+    max_value: float,
+    kernel_size: int = 5,
+) -> jnp.ndarray:
+    """Per-offset spline basis on a dense cell grid: [B, G, 9, P].
+    Shares across the convs of one level (like edge_basis)."""
+    from dagr_tpu.core.types import GRID_OFFSETS
+
+    ny, nx = grid_hw
+    B = pos.shape[0]
+    pc = pos[..., :2].reshape(B, ny, nx, 2)
+    bases = []
+    for (dy, dx) in GRID_OFFSETS:
+        src_p = _shift2d(pc, dy, dx)
+        attr = (src_p - pc) / (2.0 * max_value) + 0.5
+        bases.append(bilinear_basis(jnp.clip(attr, 0.0, 1.0), kernel_size))
+    return jnp.stack(bases, axis=3).reshape(
+        B, ny * nx, len(GRID_OFFSETS), kernel_size ** 2)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("grid_hw", "kernel_size", "max_value"),
+)
+def stencil_spline_conv(
+    x: jnp.ndarray,            # f32 [B, G, Cin], G = ny * nx cell table
+    pos: jnp.ndarray,          # f32 [B, G, >=2]
+    nbr_mask: jnp.ndarray,     # bool [B, G, 9] (GRID_OFFSETS slot order)
+    weight: jnp.ndarray,       # f32 [P, Cin, Cout]
+    root_weight: Optional[jnp.ndarray] = None,
+    bias: Optional[jnp.ndarray] = None,
+    basis: Optional[jnp.ndarray] = None,   # f32 [B, G, 9, P] precomputed
+    *,
+    grid_hw,                   # (ny, nx)
+    max_value: float,
+    kernel_size: int = 5,
+) -> jnp.ndarray:
+    """Spline conv specialized to the pooled levels' dense 9-stencil
+    grids (reference pooled graphs, pooling.py:58-64): every neighbor
+    list is exactly the 3x3 cell stencil (ops/pool.py builds it that
+    way), so source features/positions are SHIFTS of the dense canvas —
+    no gathers at all, pure dense VPU work + one MXU matmul.  Matches
+    spline_conv numerically (tested)."""
+    from dagr_tpu.core.types import GRID_OFFSETS
+
+    ny, nx = grid_hw
+    B, G, cin = x.shape
+    P, _, cout = weight.shape
+    xc = x.reshape(B, ny, nx, cin)
+    m = nbr_mask.reshape(B, ny, nx, len(GRID_OFFSETS))
+    if basis is not None:
+        bas_all = basis.reshape(B, ny, nx, len(GRID_OFFSETS), P)
+    else:
+        pc = pos[..., :2].reshape(B, ny, nx, 2)
+
+    g = jnp.zeros((B, ny, nx, P, cin), jnp.float32)
+    for o, (dy, dx) in enumerate(GRID_OFFSETS):
+        src_x = _shift2d(xc, dy, dx)
+        if basis is not None:
+            bas = bas_all[:, :, :, o]
+        else:
+            src_p = _shift2d(pc, dy, dx)
+            attr = (src_p - pc) / (2.0 * max_value) + 0.5
+            bas = bilinear_basis(jnp.clip(attr, 0.0, 1.0), kernel_size)
+        bas = bas * m[..., o:o + 1]
+        g = g + bas[..., :, None] * src_x[..., None, :]
+    out = jnp.dot(g.reshape(B * G, P * cin), weight.reshape(P * cin, cout),
+                  preferred_element_type=jnp.float32)
+    out = out.reshape(B, G, cout)
+    if root_weight is not None:
+        out = out + jnp.dot(x, root_weight,
+                            preferred_element_type=jnp.float32)
+    if bias is not None:
+        out = out + bias
+    return out
+
+
+def nodeset_conv(ns, weight, root_weight=None, bias=None, basis=None, *,
+                 max_value: float, kernel_size: int = 5,
+                 node_chunk: int = 2048) -> jnp.ndarray:
+    """Dispatch: pooled dense-grid NodeSets (grid_hw set — their
+    neighbor lists are exactly the 9-stencil) take the shift-based
+    stencil conv; the event level takes the gather-based conv.  The
+    shared ``basis`` is [B, G, 9, P] for stencil levels (stencil_basis
+    or edge_basis — identical there) or [B, N, K, P] for the event
+    level (edge_basis)."""
+    if ns.grid_hw is not None:
+        return stencil_spline_conv(
+            ns.feat, ns.pos, ns.graph.nbr_mask, weight, root_weight, bias,
+            basis, grid_hw=ns.grid_hw, max_value=max_value,
+            kernel_size=kernel_size)
+    return spline_conv(
+        ns.feat, ns.pos, ns.graph.nbr, ns.graph.nbr_mask, weight,
+        root_weight, bias, basis, max_value=max_value,
+        kernel_size=kernel_size, node_chunk=node_chunk)
+
+
+def level_basis(ns, *, max_value: float,
+                kernel_size: int = 5) -> jnp.ndarray:
+    """Shared per-level conv basis (shape matches nodeset_conv)."""
+    if ns.grid_hw is not None:
+        return stencil_basis(ns.pos, grid_hw=ns.grid_hw,
+                             max_value=max_value, kernel_size=kernel_size)
+    if ns.graph.nbr_dpos is not None:
+        # edge geometry carried algebraically by the graph builder —
+        # no per-edge position gather needed
+        attr = ns.graph.nbr_dpos / (2.0 * max_value) + 0.5
+        return bilinear_basis(jnp.clip(attr, 0.0, 1.0), kernel_size)
+    return edge_basis(ns.pos, ns.graph.nbr, max_value=max_value,
+                      kernel_size=kernel_size)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("kernel_size", "max_value", "node_chunk", "impl"),
@@ -161,13 +292,21 @@ def spline_conv(
             b_c = bilinear_basis(jnp.clip(attr, 0.0, 1.0), kernel_size)
         else:
             b_c = basis_c.reshape(T * K, P)
-        if impl == "node":
+        if impl.startswith("node"):
             b_m = b_c.reshape(T, K, P) * mask_c[..., None]
             # g[t, p, c] = sum_k basis[t, k, p] * x_src[t, k, c]
-            g = jax.lax.dot_general(
-                b_m, x_src.reshape(T, K, cin),
-                dimension_numbers=(((1,), (1,)), ((0,), (0,))),
-                preferred_element_type=jnp.float32)           # [T, P, Cin]
+            if impl == "node_dot":
+                g = jax.lax.dot_general(
+                    b_m, x_src.reshape(T, K, cin),
+                    dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+                    preferred_element_type=jnp.float32)       # [T, P, Cin]
+            else:
+                # broadcast-reduce on the VPU: per-node [K,P]x[K,Cin]
+                # matmuls are far below MXU tile size, so a fused
+                # multiply+sum beats a batched dot here
+                g = jnp.sum(
+                    b_m[:, :, :, None] * x_src.reshape(T, K, 1, cin),
+                    axis=1)                                    # [T, P, Cin]
             w_flat = weight.reshape(P * cin, cout)
             return jnp.dot(g.reshape(T, P * cin), w_flat,
                            preferred_element_type=jnp.float32)

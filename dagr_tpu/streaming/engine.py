@@ -296,14 +296,15 @@ class StreamingDetector:
                 tmax=seg_max(jnp.where(live, state.pos[:, 2], -jnp.inf)),
             )
             # adjacency from all LIVE stored edges: an edge survives iff
-            # its source slot still holds the same event (vid match)
+            # its source slot still holds the same event (vid match).
+            # vid+cells ride ONE row gather: width-1 gathers cost ~6x
+            # more per index on this backend (scripts/microbench2.py)
             src_slots = jnp.clip(state.nbr_slots, 0, N - 1)
-            src_live = jnp.take_along_axis(
-                state.vid, src_slots.reshape(-1), axis=0
-            ).reshape(N, -1) == state.nbr_vid
-            src_cells = jnp.take_along_axis(
-                state.cells, src_slots.reshape(-1), axis=0
-            ).reshape(N, -1)
+            vc = jnp.stack([state.vid, state.cells], axis=1)   # [N, 2]
+            got = jnp.take_along_axis(
+                vc, src_slots.reshape(-1)[:, None], axis=0)
+            src_live = got[:, 0].reshape(N, -1) == state.nbr_vid
+            src_cells = got[:, 1].reshape(N, -1)
             dcx = state.cells % self.nx1
             dcy = jnp.minimum(state.cells // self.nx1, self.ny1 - 1)
             dx = src_cells % self.nx1 - dcx[:, None]

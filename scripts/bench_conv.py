@@ -46,7 +46,7 @@ def main():
         w = jnp.asarray(rng.random((P, cin, cout), np.float32) * 0.1)
         root = jnp.asarray(rng.random((cin, cout), np.float32) * 0.1)
 
-        for impl in ("edge", "node"):
+        for impl in ("edge", "node", "node_dot"):
             def run(x, pos, nbr, mask, w, root, bump, _impl=impl):
                 def step(c, _):
                     out = spline_conv(x + c, pos, nbr, mask, w, root,

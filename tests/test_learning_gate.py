@@ -103,7 +103,7 @@ def test_overfit_reaches_map():
     env["PYTHONPATH"] = repo
     out = subprocess.run(
         [sys.executable, os.path.abspath(__file__)],
-        capture_output=True, text=True, timeout=600, env=env, cwd=repo,
+        capture_output=True, text=True, timeout=1500, env=env, cwd=repo,
     )
     assert out.returncode == 0, out.stderr[-3000:]
     line = [l for l in out.stdout.splitlines()

@@ -127,3 +127,50 @@ def test_impl_node_matches_edge(rng):
     b = spline_conv(x, pos, nbr, mask, w, root, impl="node", **kw)
     np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                atol=2e-5, rtol=2e-5)
+
+
+def test_stencil_conv_matches_gather():
+    """stencil_spline_conv (dense shifts on pooled grids) must equal the
+    general gather-based spline_conv on a real pooled NodeSet."""
+    import jax.numpy as jnp
+
+    from dagr_tpu.core.types import NodeSet, EventGraph
+    from dagr_tpu.graph.build import build_graph
+    from dagr_tpu.ops.pool import pool_nodeset
+    from dagr_tpu.ops.spline import spline_conv, stencil_spline_conv
+
+    rng = np.random.default_rng(7)
+    B, N = 2, 400
+    W, H = 64, 48
+    pos_px = np.zeros((B, N, 3), np.int32)
+    pos_px[..., 0] = rng.integers(0, W, (B, N))
+    pos_px[..., 1] = rng.integers(0, H, (B, N))
+    pos_px[..., 2] = np.sort(rng.integers(0, 100_000, (B, N)), axis=1)
+    mask = np.ones((B, N), bool)
+    mask[1, 300:] = False
+    g = build_graph(jnp.asarray(pos_px), jnp.asarray(mask), width=W,
+                    height=H, radius=3, delta_t_us=50_000, max_neighbors=8)
+    pos = pos_px.astype(np.float32) / np.array([W, H, 100_000], np.float32)
+    feat = rng.random((B, N, 5), np.float32)
+    ns = NodeSet(feat=jnp.asarray(feat), pos=jnp.asarray(pos),
+                 mask=jnp.asarray(mask), graph=g)
+    ns = pool_nodeset(ns, grid_ny=12, grid_nx=16, width=W, height=H,
+                      aggr="max", keep_temporal_ordering=True)
+
+    w = jnp.asarray(rng.standard_normal((25, 5, 6), np.float32) * 0.2)
+    root = jnp.asarray(rng.standard_normal((5, 6), np.float32) * 0.2)
+    bias = jnp.asarray(rng.standard_normal(6, np.float32) * 0.2)
+    mv = 0.1
+    a = spline_conv(ns.feat, ns.pos, ns.graph.nbr, ns.graph.nbr_mask,
+                    w, root, bias, max_value=mv)
+    b = stencil_spline_conv(ns.feat, ns.pos, ns.graph.nbr_mask, w, root,
+                            bias, grid_hw=(12, 16), max_value=mv)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                               atol=2e-5, rtol=2e-5)
+    # shared-basis path too
+    from dagr_tpu.ops.spline import stencil_basis
+
+    sb = stencil_basis(ns.pos, grid_hw=(12, 16), max_value=mv)
+    c = stencil_spline_conv(ns.feat, ns.pos, ns.graph.nbr_mask, w, root,
+                            bias, sb, grid_hw=(12, 16), max_value=mv)
+    np.testing.assert_allclose(np.asarray(b), np.asarray(c), atol=1e-6)
