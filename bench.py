@@ -6,15 +6,34 @@ north-star target (BASELINE.json); >1.0 beats it.
 
 Protocol mirrors the reference's sync eval path
 (reference: scripts/run_test.py — forward on a full event window, then
-decode + NMS), graph build included.  Measurement notes: the axon
-runtime memoizes repeated identical executions, so the loop feeds a
-DIFFERENT event window each iteration and chains a data dependency
-between steps — timings are true steady-state device time.
+decode + NMS), graph build included.
+
+Measurement notes (see scripts/microbench.py + the verify skill): the
+axon runtime memoizes repeated identical executions AND charges ~30 ms
+of tunnel overhead per dispatched call, so the loop (a) feeds 12
+DISTINCT event windows, (b) chains them inside ONE jit via lax.scan
+with a data dependency between steps, (c) materializes the full
+detection outputs of every window at the end, and (d) subtracts the
+measured empty-call overhead.  Timings are true steady-state device
+time per window.
 """
 import json
 import time
 
 import numpy as np
+
+N_WINDOWS = 12
+
+
+def _overhead(jax, jnp):
+    probe = jax.jit(lambda x: x + 1)
+    _ = np.asarray(probe(jnp.zeros((), jnp.float32)))
+    ts = []
+    for i in range(3):
+        t0 = time.perf_counter()
+        _ = np.asarray(probe(jnp.float32(i + 1)))
+        ts.append(time.perf_counter() - t0)
+    return min(ts)
 
 
 def main():
@@ -30,53 +49,110 @@ def main():
     NV = 45_000
     model = DAGR(cfg, height=H, width=W)
     rng = np.random.default_rng(0)
-    windows = [
-        jax.device_put(random_events(rng, 1, cfg.n_nodes, width=W, height=H,
-                                     n_valid=NV))
-        for _ in range(8)
-    ]
+    evs = [random_events(rng, 1, cfg.n_nodes, width=W, height=H, n_valid=NV)
+           for _ in range(N_WINDOWS)]
+    stack = jax.device_put(jax.tree.map(lambda *a: jnp.stack(a), *evs))
     variables = jax.device_put(
-        model.init(jax.random.key(0), windows[0], train=False))
+        model.init(jax.random.key(0), evs[0], train=False))
 
-    @jax.jit
-    def pipeline(variables, events):
-        raw = model.apply(variables, events, train=False)
-        return detect(raw, cfg, H, W)
+    def run(variables, stack, bump):
+        def step(c, ev):
+            # unfoldable perturbation: ties the data to the per-call bump
+            # so the runtime's replay cache can't serve a previous call
+            ev = ev.replace(feat=jnp.where(c < -1e9, 0.0, ev.feat))
+            raw = model.apply(variables, ev, train=False)
+            det = detect(raw, cfg, H, W)
+            return c + det["scores"][0, 0], det
+        _, dets = jax.lax.scan(step, bump, stack)
+        return dets                                  # FULL outputs, stacked
 
-    # warmup / compile (np.asarray forces real execution: on the axon
-    # backend block_until_ready does not reliably block)
-    _ = np.asarray(pipeline(variables, windows[0])["scores"])
+    pipeline = jax.jit(run)
+    ovh = _overhead(jax, jnp)
 
-    iters = 12
-    t0 = time.perf_counter()
-    for i in range(iters):
-        w = windows[1 + i % (len(windows) - 1)]
-        out = pipeline(variables, w)
-        _ = np.asarray(out["scores"][0, 0])      # materialize every step
-    dt = (time.perf_counter() - t0) / iters
-
+    for i in range(2):                               # compile + warm
+        out = pipeline(variables, stack, jnp.float32(i))
+        _ = jax.tree.map(np.asarray, out)
+    ts = []
+    for i in range(3):
+        t0 = time.perf_counter()
+        out = pipeline(variables, stack, jnp.float32(i + 5))
+        _ = jax.tree.map(np.asarray, out)            # materialize everything
+        ts.append(time.perf_counter() - t0)
+    dt = (min(ts) - ovh) / N_WINDOWS
     mev_s = NV / dt / 1e6
 
-    # streaming engine: per-chunk event->detection latency
+    # ---- streaming engine: per-chunk event->detection latency --------
     from dagr_tpu.streaming.engine import StreamingDetector, chunk_events
 
     chunk = 256
     eng = StreamingDetector(cfg, H, W, chunk=chunk, count_flops=False)
     step = eng.make_step(variables["params"], variables["batch_stats"])
     st = eng.init_state()
-    pos_px = np.asarray(windows[0].pos_px()[0])
-    feat = np.asarray(windows[0].feat[0])
+    pos_px = np.asarray(evs[0].pos_px()[0])
+    feat = np.asarray(evs[0].feat[0])
     chunks = chunk_events(pos_px[:NV], feat[:NV], chunk)
-    for c in chunks[:40]:                        # warm fill + compile
+    for c in chunks[:40]:                            # warm fill + compile
         st, raw, _ = step(st, *c)
     _ = np.asarray(raw[0, 0, 0])
+
+    # chain 8 chunk steps inside one jit so the tunnel overhead
+    # amortizes; p50 is per-chunk device latency
+    def chain(st, ps, fs, vs):
+        def body(s, pfv):
+            s, raw, _ = eng.step(variables["params"],
+                                 variables["batch_stats"], s, *pfv)
+            return s, raw
+        st, raws = jax.lax.scan(body, st, (ps, fs, vs))
+        return st, raws
+
+    chain_j = jax.jit(chain)
     lat = []
-    for c in chunks[40:48]:
+    for rep in range(4):
+        sel = chunks[40 + 8 * (rep % 2):48 + 8 * (rep % 2)]
+        ps = jnp.stack([c[0] for c in sel])
+        fs = jnp.stack([c[1] for c in sel])
+        vs = jnp.stack([c[2] for c in sel])
         t0 = time.perf_counter()
-        st, raw, _ = step(st, *c)
-        _ = np.asarray(raw[0, 0, 0])
-        lat.append(time.perf_counter() - t0)
+        st, raws = chain_j(st, ps, fs, vs)
+        _ = np.asarray(raws)
+        lat.append((time.perf_counter() - t0 - ovh) / 8)
     p50 = sorted(lat)[len(lat) // 2] * 1e3
+
+    # ---- multi-stream serving: 8 vmapped streams per chip -------------
+    # chained inside one jit like the p50 section, so the tunnel
+    # overhead amortizes and the number is device time
+    S = 8
+
+    def one(state, p, f_, v):
+        s, raw, _ = eng.step(variables["params"], variables["batch_stats"],
+                             state, p, f_, v)
+        return s, raw
+
+    def chain_m(sts, ps, fs, vs):
+        def body(s, pfv):
+            s, raw = jax.vmap(one)(s, *pfv)
+            return s, raw[:, 0, 0, 0]
+        return jax.lax.scan(body, sts, (ps, fs, vs))
+
+    chain_mj = jax.jit(chain_m)
+    sts = eng.init_states(S)
+    mch = [tuple(np.stack([c[j]] * S) for j in range(3)) for c in chunks[:32]]
+
+    def stack_m(sel):
+        return tuple(jnp.stack([c[j] for c in sel]) for j in range(3))
+
+    sts, _ = chain_mj(sts, *stack_m(mch[:8]))          # compile + fill
+    sts, _ = chain_mj(sts, *stack_m(mch[8:16]))
+    _ = np.asarray(jax.tree.leaves(sts)[0]).ravel()[:1]
+    lat_m = []
+    for rep in range(2):
+        sel = mch[16 + 8 * rep:24 + 8 * rep]
+        t0 = time.perf_counter()
+        sts, raws = chain_mj(sts, *stack_m(sel))
+        _ = np.asarray(raws)
+        lat_m.append((time.perf_counter() - t0 - ovh) / 8)
+    dtm = min(lat_m)
+    ms_mev = S * chunk / dtm / 1e6
 
     print(json.dumps({
         "metric": "sync_inference_throughput",
@@ -86,7 +162,10 @@ def main():
         "detail": {
             "window_events": NV,
             "steady_ms_per_window": round(dt * 1e3, 2),
+            "distinct_windows": N_WINDOWS,
+            "tunnel_overhead_ms_subtracted": round(ovh * 1e3, 1),
             "streaming_p50_latency_ms_per_256ev_chunk": round(p50, 2),
+            "multistream_8x_mevents_s": round(ms_mev, 3),
             "model": "dagr-s events-only, 320x240, incl. graph build + NMS",
         },
     }))
