@@ -105,3 +105,60 @@ def test_empty_and_full_padding():
         max_neighbors=4, queue_size=8,
     )
     assert not np.asarray(g.nbr_mask).any()
+
+
+def test_nbr_dpos_matches_positions():
+    import jax.numpy as jnp
+    """The builder's per-edge (dx, dy) deltas must equal
+    pos_src - pos_dst for every valid edge (the conv basis and the
+    pool cell mapping are derived from them algebraically)."""
+    rng = np.random.default_rng(11)
+    W, H = 64, 48
+    B, N = 2, 300
+    pos_px = np.zeros((B, N, 3), np.int32)
+    pos_px[..., 0] = rng.integers(0, W, (B, N))
+    pos_px[..., 1] = rng.integers(0, H, (B, N))
+    pos_px[..., 2] = np.sort(rng.integers(0, 100_000, (B, N)), axis=1)
+    mask = np.ones((B, N), bool)
+    mask[1, 250:] = False
+    g = build_graph(jnp.asarray(pos_px), jnp.asarray(mask), width=W,
+                    height=H, radius=3, delta_t_us=30_000, max_neighbors=6)
+    nbr = np.asarray(g.nbr)
+    m = np.asarray(g.nbr_mask)
+    dpos = np.asarray(g.nbr_dpos)
+    pos = pos_px[..., :2].astype(np.float32) / np.array([W, H], np.float32)
+    for b in range(B):
+        src = pos[b][nbr[b]]                       # [N, K, 2]
+        want = src - pos[b][:, None, :]
+        np.testing.assert_allclose(dpos[b][m[b]], want[m[b]], atol=1e-6)
+
+
+def test_pool_dpos_path_matches_gather_path():
+    import jax.numpy as jnp
+    """pool_graph's algebraic source-cell mapping (from nbr_dpos) must
+    be bit-identical to gathering the source's own position."""
+    from dagr_tpu.ops.pool import pool_graph
+
+    rng = np.random.default_rng(12)
+    W, H = 64, 48
+    B, N = 2, 400
+    pos_px = np.zeros((B, N, 3), np.int32)
+    pos_px[..., 0] = rng.integers(0, W, (B, N))
+    pos_px[..., 1] = rng.integers(0, H, (B, N))
+    pos_px[..., 2] = np.sort(rng.integers(0, 100_000, (B, N)), axis=1)
+    mask = np.ones((B, N), bool)
+    mask[0, 350:] = False
+    g = build_graph(jnp.asarray(pos_px), jnp.asarray(mask), width=W,
+                    height=H, radius=4, delta_t_us=50_000, max_neighbors=8)
+    pos = jnp.asarray(
+        pos_px.astype(np.float32)
+        / np.array([W, H, 100_000], np.float32))
+    feat = jnp.asarray(rng.random((B, N, 4), np.float32))
+    kw = dict(grid_ny=12, grid_nx=16, width=W, height=H, aggr="max",
+              keep_temporal_ordering=True)
+    a = pool_graph(feat, pos, jnp.asarray(mask), g.nbr, g.nbr_mask,
+                   g.nbr_dpos, **kw)
+    b = pool_graph(feat, pos, jnp.asarray(mask), g.nbr, g.nbr_mask,
+                   None, **kw)
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
