@@ -1,6 +1,10 @@
 """Streaming-engine step timing on the real chip: full step vs
 front-end only (graph search + event-level convs + aggregates), chained
-inside one jit.  Run: python scripts/bench_stream.py [chunk]
+inside one jit.  Run: python scripts/bench_stream.py [chunk] [grow|ring]
+
+ring mode exercises the sliding-window store (eviction + live-store
+aggregate recompute, reference delete_nodes path); its steps cost more
+than grow-mode steps by design.
 """
 import os
 import sys
@@ -23,6 +27,7 @@ def main():
     from dagr_tpu.streaming.engine import StreamingDetector, chunk_events
 
     chunk = int(sys.argv[1]) if len(sys.argv) > 1 else 256
+    mode = sys.argv[2] if len(sys.argv) > 2 else "grow"
     cfg = DagrConfig()
     H, W = 240, 320
     NV = 45_000
@@ -32,7 +37,8 @@ def main():
     variables = model.init(jax.random.key(0), ev, train=False)
     params, stats = variables["params"], variables["batch_stats"]
 
-    eng = StreamingDetector(cfg, H, W, chunk=chunk, count_flops=False)
+    eng = StreamingDetector(cfg, H, W, chunk=chunk, count_flops=False,
+                            window_mode=mode)
     st = eng.init_state()
     pos_px = np.asarray(ev.pos_px()[0])
     feat = np.asarray(ev.feat[0])

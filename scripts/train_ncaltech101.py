@@ -60,12 +60,27 @@ def main():
         ckpt.checkpoint(state, epoch, name="last_model")
         if epoch % 3 > 0:
             continue
-        buf, _ = run_test(val_loader, model, state, cfg, H, W, classes)
+        buf, dets = run_test(val_loader, model, state, cfg, H, W, classes,
+                             compile_detections=True)
         metrics = buf.compute()
         logger.log({f"validation/metric/{k}": v for k, v in metrics.items()},
                    step=int(state.step))
         print(f"epoch {epoch}: {metrics}")
         ckpt.process(metrics, epoch, state)
+        # bbox-overlay logging during validation (reference logs these
+        # to wandb, utils/logging.py:119-211; here they land on disk)
+        if cfg.n_viz_images > 0:
+            import cv2
+
+            from dagr_tpu.visualization.viz import render_detections_on_sample
+
+            viz_dir = out_dir / f"viz_epoch_{epoch}"
+            viz_dir.mkdir(parents=True, exist_ok=True)
+            for i, det in enumerate(dets[:cfg.n_viz_images]):
+                img = render_detections_on_sample(val_ds[i], det,
+                                                  class_names=classes)
+                cv2.imwrite(str(viz_dir / f"{i:06d}.png"),
+                            cv2.cvtColor(img, cv2.COLOR_RGB2BGR))
 
 
 if __name__ == "__main__":

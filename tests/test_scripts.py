@@ -104,6 +104,8 @@ def test_train_ncaltech_script(tmp_path, monkeypatch):
     ])
     run_dir = out / "low_latency-ncaltech101-detection" / "default"
     assert (run_dir / "last_model").exists()
+    assert sorted((run_dir / "viz_epoch_0").glob("*.png")), \
+        "no bbox-overlay images written during validation"
 
 
 def test_checkpoint_roundtrip(tmp_path):
