@@ -139,11 +139,17 @@ def pool_graph(
     evalid = nbr_mask & mask[..., None] & src_valid & in_stencil
     if not self_loop:
         evalid = evalid & (o != GRID_SELF_OFFSET)             # pooling.py:62
-    adj_idx = jnp.where(evalid, cell[..., None] * 9 + o, ncells * 9)
+    # per-node 9-slot offset mask first (VPU), then segment N ROWS by
+    # dst cell: scatter cost on this backend is per row, so reducing
+    # the K axis before the scatter cuts an 800k-item segment_max to a
+    # 50k-row one (~8x; scripts/microbench2.py measurements)
+    bits = jnp.any(
+        (o[..., None] == jnp.arange(9, dtype=o.dtype)) & evalid[..., None],
+        axis=2)                                               # [B, N, 9]
     adj = jax.vmap(
-        lambda s, v: jax.ops.segment_max(v, s, num_segments=ncells * 9 + 1)
-    )(adj_idx.reshape(B, -1), evalid.reshape(B, -1).astype(jnp.int32))
-    adj = adj[:, : ncells * 9].reshape(B, ncells, 9) > 0
+        lambda s, v: jax.ops.segment_max(v, s, num_segments=ncells + 1)
+    )(seg, bits.astype(jnp.int32))
+    adj = adj[:, :ncells] > 0                                 # [B, ncells, 9]
 
     # ---- stencil neighbor list on the cell table -------------------------
     cid = jnp.arange(ncells, dtype=jnp.int32)

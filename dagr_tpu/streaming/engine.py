@@ -274,10 +274,13 @@ class StreamingDetector:
             o = (dy + 1) * 3 + (dx + 1)
             ev = nbr_mask & cv[:, None] & in_st & (o != GRID_SELF_OFFSET) \
                 & (src_cells < G1)
-            flat = jnp.where(ev, cell_c[:, None] * 9 + o, G1 * 9)
+            # K-axis pre-reduce, then segment per ROW (see ops/pool.py)
+            bits = jnp.any(
+                (o[..., None] == jnp.arange(9, dtype=o.dtype))
+                & ev[..., None], axis=1)                      # [C, 9]
             hit = jax.ops.segment_max(
-                ev.reshape(-1).astype(jnp.int32), flat.reshape(-1),
-                num_segments=G1 * 9 + 1)[: G1 * 9].reshape(G1, 9) > 0
+                bits.astype(jnp.int32), cell_c,
+                num_segments=G1 + 1)[:G1] > 0
             state = state.replace(adj=state.adj | hit)
         else:
             # ---- sliding window: recompute aggregates from the live
@@ -315,10 +318,15 @@ class StreamingDetector:
             ev = state.nbr_valid & live[:, None] & src_live & in_st \
                 & (o != GRID_SELF_OFFSET) & (src_cells < G1) \
                 & (state.cells < G1)[:, None]
-            flat = jnp.where(ev, state.cells[:, None] * 9 + o, G1 * 9)
+            # K-axis pre-reduce, then segment N ROWS by dst cell — the
+            # per-item scatter over N*K flat ids was the ring-mode
+            # hotspot (~5.5 ms per step; see ops/pool.py note)
+            bits = jnp.any(
+                (o[..., None] == jnp.arange(9, dtype=o.dtype))
+                & ev[..., None], axis=1)                      # [N, 9]
             adj = jax.ops.segment_max(
-                ev.reshape(-1).astype(jnp.int32), flat.reshape(-1),
-                num_segments=G1 * 9 + 1)[: G1 * 9].reshape(G1, 9) > 0
+                bits.astype(jnp.int32), jnp.minimum(state.cells, G1),
+                num_segments=G1 + 1)[:G1] > 0
             state = state.replace(adj=adj)
 
         raw, flops = self._dense_tail(params, batch_stats, state,
