@@ -82,81 +82,111 @@ def main():
     mev_s = NV / dt / 1e6
 
     # ---- streaming engine: per-chunk event->detection latency --------
+    # The streaming/multistream sections are BEST-EFFORT: compile times
+    # on this backend can degrade to >10 min per program, and the
+    # headline JSON line must print regardless, so each detail section
+    # runs under a SIGALRM budget and reports null on timeout.
+    import signal
+
+    class _SectionTimeout(Exception):
+        pass
+
+    def _section(budget_s, fn):
+        def onalarm(signum, frame):
+            raise _SectionTimeout()
+        old = signal.signal(signal.SIGALRM, onalarm)
+        signal.alarm(budget_s)
+        try:
+            return fn()
+        except _SectionTimeout:
+            return None
+        finally:
+            signal.alarm(0)
+            signal.signal(signal.SIGALRM, old)
+
     from dagr_tpu.streaming.engine import StreamingDetector, chunk_events
 
     chunk = 256
-    eng = StreamingDetector(cfg, H, W, chunk=chunk, count_flops=False)
-    step = eng.make_step(variables["params"], variables["batch_stats"])
-    st = eng.init_state()
     pos_px = np.asarray(evs[0].pos_px()[0])
     feat = np.asarray(evs[0].feat[0])
     chunks = chunk_events(pos_px[:NV], feat[:NV], chunk)
-    for c in chunks[:40]:                            # warm fill + compile
-        st, raw, _ = step(st, *c)
-    _ = np.asarray(raw[0, 0, 0])
 
-    # chain 8 chunk steps inside one jit so the tunnel overhead
-    # amortizes; p50 is per-chunk device latency
-    def chain(st, ps, fs, vs):
-        def body(s, pfv):
-            s, raw, _ = eng.step(variables["params"],
-                                 variables["batch_stats"], s, *pfv)
-            return s, raw
-        st, raws = jax.lax.scan(body, st, (ps, fs, vs))
-        return st, raws
+    def measure_p50():
+        eng = StreamingDetector(cfg, H, W, chunk=chunk, count_flops=False)
+        st = eng.init_state()
 
-    chain_j = jax.jit(chain)
-    lat = []
-    for rep in range(4):
-        sel = chunks[40 + 8 * (rep % 2):48 + 8 * (rep % 2)]
-        ps = jnp.stack([c[0] for c in sel])
-        fs = jnp.stack([c[1] for c in sel])
-        vs = jnp.stack([c[2] for c in sel])
-        t0 = time.perf_counter()
-        st, raws = chain_j(st, ps, fs, vs)
+        # chain chunk steps inside one jit so the tunnel overhead
+        # amortizes; p50 is per-chunk device latency
+        def chain(st, ps, fs, vs):
+            def body(s, pfv):
+                s, raw, _ = eng.step(variables["params"],
+                                     variables["batch_stats"], s, *pfv)
+                return s, raw
+            st, raws = jax.lax.scan(body, st, (ps, fs, vs))
+            return st, raws
+
+        def stack(sel):
+            return (jnp.stack([c[0] for c in sel]),
+                    jnp.stack([c[1] for c in sel]),
+                    jnp.stack([c[2] for c in sel]))
+
+        chain_j = jax.jit(chain)
+        for g in range(5):                           # compile + warm fill
+            st, raws = chain_j(st, *stack(chunks[8 * g:8 * g + 8]))
         _ = np.asarray(raws)
-        lat.append((time.perf_counter() - t0 - ovh) / 8)
-    p50 = sorted(lat)[len(lat) // 2] * 1e3
+        lat = []
+        for rep in range(4):
+            sel = chunks[40 + 8 * (rep % 2):48 + 8 * (rep % 2)]
+            t0 = time.perf_counter()
+            st, raws = chain_j(st, *stack(sel))
+            _ = np.asarray(raws)
+            lat.append((time.perf_counter() - t0 - ovh) / 8)
+        return sorted(lat)[len(lat) // 2] * 1e3
+
+    p50 = _section(1500, measure_p50)
 
     # ---- multi-stream serving: 8 vmapped streams per chip -------------
     # throughput-oriented: 1024-event chunks (the fixed dense-tail cost
     # dominates tiny chunks; single-stream LATENCY is the p50 above),
     # chained inside one jit so the number is device time
     S, mchunk = 8, 1024
-    engm = StreamingDetector(cfg, H, W, chunk=mchunk, count_flops=False)
-    mchunks = chunk_events(pos_px[:NV], feat[:NV], mchunk)
 
-    def one(state, p, f_, v):
-        s, raw, _ = engm.step(variables["params"], variables["batch_stats"],
-                              state, p, f_, v)
-        return s, raw
+    def measure_multistream():
+        engm = StreamingDetector(cfg, H, W, chunk=mchunk, count_flops=False)
+        mchunks = chunk_events(pos_px[:NV], feat[:NV], mchunk)
 
-    def chain_m(sts, ps, fs, vs):
-        def body(s, pfv):
-            s, raw = jax.vmap(one)(s, *pfv)
-            return s, raw[:, 0, 0, 0]
-        return jax.lax.scan(body, sts, (ps, fs, vs))
+        def one(state, p, f_, v):
+            s, raw, _ = engm.step(variables["params"],
+                                  variables["batch_stats"], state, p, f_, v)
+            return s, raw
 
-    chain_mj = jax.jit(chain_m)
-    sts = engm.init_states(S)
-    mch = [tuple(np.stack([c[j]] * S) for j in range(3))
-           for c in mchunks[:32]]
+        def chain_m(sts, ps, fs, vs):
+            def body(s, pfv):
+                s, raw = jax.vmap(one)(s, *pfv)
+                return s, raw[:, 0, 0, 0]
+            return jax.lax.scan(body, sts, (ps, fs, vs))
 
-    def stack_m(sel):
-        return tuple(jnp.stack([c[j] for c in sel]) for j in range(3))
+        chain_mj = jax.jit(chain_m)
+        sts = engm.init_states(S)
+        mch = [tuple(np.stack([c[j]] * S) for j in range(3))
+               for c in mchunks[:32]]
 
-    sts, _ = chain_mj(sts, *stack_m(mch[:8]))          # compile + fill
-    sts, _ = chain_mj(sts, *stack_m(mch[8:16]))
-    _ = np.asarray(jax.tree.leaves(sts)[0]).ravel()[:1]
-    lat_m = []
-    for rep in range(2):
-        sel = mch[16 + 8 * rep:24 + 8 * rep]
-        t0 = time.perf_counter()
-        sts, raws = chain_mj(sts, *stack_m(sel))
-        _ = np.asarray(raws)
-        lat_m.append((time.perf_counter() - t0 - ovh) / 8)
-    dtm = min(lat_m)
-    ms_mev = S * mchunk / dtm / 1e6
+        def stack_m(sel):
+            return tuple(jnp.stack([c[j] for c in sel]) for j in range(3))
+
+        sts, _ = chain_mj(sts, *stack_m(mch[:8]))      # compile + fill
+        sts, _ = chain_mj(sts, *stack_m(mch[8:16]))
+        _ = np.asarray(jax.tree.leaves(sts)[0]).ravel()[:1]
+        lat_m = []
+        for rep in range(2):
+            sel = mch[16 + 8 * rep:24 + 8 * rep]
+            t0 = time.perf_counter()
+            sts, raws = chain_mj(sts, *stack_m(sel))
+            _ = np.asarray(raws)
+            lat_m.append((time.perf_counter() - t0 - ovh) / 8)
+        return S * mchunk / min(lat_m) / 1e6
+
+    ms_mev = _section(1500, measure_multistream)
 
     print(json.dumps({
         "metric": "sync_inference_throughput",
@@ -168,8 +198,10 @@ def main():
             "steady_ms_per_window": round(dt * 1e3, 2),
             "distinct_windows": N_WINDOWS,
             "tunnel_overhead_ms_subtracted": round(ovh * 1e3, 1),
-            "streaming_p50_latency_ms_per_256ev_chunk": round(p50, 2),
-            "multistream_8x_c1024_mevents_s": round(ms_mev, 3),
+            "streaming_p50_latency_ms_per_256ev_chunk": (
+                round(p50, 2) if p50 is not None else None),
+            "multistream_8x_c1024_mevents_s": (
+                round(ms_mev, 3) if ms_mev is not None else None),
             "model": "dagr-s events-only, 320x240, incl. graph build + NMS",
         },
     }))
