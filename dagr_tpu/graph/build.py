@@ -210,6 +210,7 @@ def build_graph(
     # edge geometry here (one extra fused reduce) saves downstream
     # per-edge position gathers in the conv basis and pool-cell mapping
     R = radius
+    assert 2 * R < 64, "cell code packs (dx+R) in 6 bits"
     cell_code = (offs[:, 0] + R) + 64 * (offs[:, 1] + R)
     src_flat, any_hit, code_sel = _select_first_k(
         cnt, cnt_hi, order, K, M, cell_code)
