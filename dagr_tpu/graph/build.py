@@ -109,8 +109,18 @@ def build_graph(
     queue_size: int = 128,
     chunk: int = 0,        # kept for API compatibility; unused
 ) -> EventGraph:
+    """Precondition: timestamps must be window-relative, i.e.
+    ``max(t) + delta_t_us < 2**31`` — the expire sort key is formed as
+    ``t + delta_t_us`` in int32 (x64 is disabled on this backend), so
+    raw epoch-scale microsecond timestamps would wrap and silently
+    corrupt the dt-window counts.  Every in-repo caller normalizes to
+    the window start (t <= time_window_us); external callers must too.
+    """
     B, N, _ = pos_px.shape
     K = max_neighbors
+    assert delta_t_us < 2**31 - 2**30, (
+        "delta_t_us leaves no headroom for window-relative timestamps "
+        "in the int32 expire key (see docstring)")
     HW = height * width
     assert B * HW < 2**31 - 1, "pixel id must fit int32"
     PAD = np.int32(B * HW)

@@ -59,7 +59,16 @@ def pool_graph(
     self_loop: bool = False,
 ):
     """Returns (feat', pos', mask', nbr', nbr_mask', tmax') on the
-    ``grid_ny * grid_nx`` cell table (K' = 9 stencil slots)."""
+    ``grid_ny * grid_nx`` cell table (K' = 9 stencil slots).
+
+    Precondition when ``nbr_dpos`` is given: positions must be
+    pixel-quantized (``pos[..., 0] * width`` and ``pos[..., 1] * height``
+    integral, as produced by the graph builder and the repo loaders),
+    and ``nbr_mask`` must imply a valid source event.  The fast path
+    reconstructs each source's pixel as ``dst_px + round(dpos * W)``;
+    sub-pixel destination positions would shift the recovered source
+    cell silently.  Pass ``nbr_dpos=None`` to fall back to gathering
+    the sources' own (arbitrary) positions."""
     assert aggr in ("max", "mean")
     B, N, C = feat.shape
     ncells = grid_ny * grid_nx

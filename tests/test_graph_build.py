@@ -68,6 +68,33 @@ def test_matches_oracle(seed, W, H, T, radius, delta_t, K, Q):
     np.testing.assert_array_equal(np.where(mask_ref, nbr, 0), np.where(mask_ref, nbr_ref, 0))
 
 
+def test_matches_oracle_large_m_unsort_branch():
+    """Cover the M >= 2**16 prefix-unsort branch (build.py) against the
+    oracle — the branch real training shapes hit (e.g. batch 32 x 50k
+    nodes).  All other oracle tests use M <= 800, so the two unsort
+    paths (packed-u32 kv-sort vs 3-operand kv-sort) could silently
+    diverge without this case.  Valid events are kept sparse so the
+    numpy oracle stays cheap; M = B*N counts padded rows, which is what
+    selects the branch."""
+    rng = np.random.default_rng(3)
+    B, N = 2, 33_000                      # M = 66k >= 65536
+    W, H, T = 16, 12, 2000
+    K, radius, delta_t, Q = 6, 2, 400, 4
+    pos, mask = random_events(rng, B, N, W, H, T, n_valid=600)
+    pos[..., 0] %= 5                      # force queue pressure
+    pos[..., 1] %= 4
+
+    nbr_ref, mask_ref = build_graph_dense(
+        pos, mask, W, H, radius, delta_t, K, queue_size=Q)
+    g = build_graph(
+        pos, mask, width=W, height=H, radius=radius, delta_t_us=delta_t,
+        max_neighbors=K, queue_size=Q)
+    np.testing.assert_array_equal(np.asarray(g.nbr_mask), mask_ref)
+    np.testing.assert_array_equal(
+        np.where(mask_ref, np.asarray(g.nbr), 0),
+        np.where(mask_ref, nbr_ref, 0))
+
+
 def test_invariants():
     rng = np.random.default_rng(7)
     B, N, W, H, T = 1, 500, 32, 24, 10000
