@@ -8,7 +8,8 @@ from dagr_tpu.config import DagrConfig
 from dagr_tpu.data.synthetic import random_events, random_targets
 from dagr_tpu.models.dagr import DAGR
 from dagr_tpu.parallel.mesh import (
-    make_mesh, put_batch, put_replicated, shard_train_step,
+    make_mesh, put_batch, put_replicated, shard_eval_forward,
+    shard_train_step,
 )
 from dagr_tpu.train.lr_schedule import yolox_schedule
 from dagr_tpu.train.state import init_state, make_optimizer, make_train_step
@@ -74,6 +75,27 @@ def test_frozen_subtree_gets_zero_updates():
     updates2, _ = tx.update(grads, st2, p2)
     assert float(jnp.abs(updates2["backbone"]["w"]).max()) > 0.0
     assert float(jnp.abs(updates2["cnn"]["w"]).max()) == 0.0
+
+
+def test_dp_sharded_eval_forward_matches_single_device():
+    """Batch-sharded eval/serving forward (shard_eval_forward) must
+    equal the single-device forward — multi-chip inference is a pure
+    batch re-layout (SURVEY.md §2.3: per-chip streaming,
+    data-parallel eval)."""
+    model = DAGR(CFG, height=H, width=W)
+    rng = np.random.default_rng(2)
+    ev = random_events(rng, 8, CFG.n_nodes, width=W, height=H, n_valid=100)
+    variables = model.init(jax.random.key(0), ev, train=False)
+
+    def fwd(variables, events):
+        return model.apply(variables, events, train=False)
+
+    raw1 = jax.jit(fwd)(variables, ev)
+
+    mesh = make_mesh(8)
+    sharded = shard_eval_forward(fwd, mesh)
+    raw2 = sharded(put_replicated(variables, mesh), put_batch(ev, mesh))
+    np.testing.assert_allclose(np.asarray(raw1), np.asarray(raw2), atol=1e-5)
 
 
 def test_dp_sharded_step_matches_single_device():
