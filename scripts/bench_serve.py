@@ -1,0 +1,94 @@
+"""Multi-stream serving throughput on the real chip (queue-based
+engine, streaming/serve.py).  Chains T lockstep steps inside one jit;
+reports aggregate Mevents/s and per-stream step cost so the S-scaling
+curve (S=8/16/32) can be recorded.
+
+Run: python scripts/bench_serve.py [S] [chunk] [T] [stage]
+stage in insert|search|select|conv|agg|full (default full) early-exits
+the step after that phase for per-stage cost attribution.
+"""
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from dagr_tpu.config import DagrConfig
+    from dagr_tpu.data.synthetic import random_events
+    from dagr_tpu.models.dagr import DAGR
+    from dagr_tpu.streaming.serve import MultiStreamServer, chunk_streams
+
+    S = int(sys.argv[1]) if len(sys.argv) > 1 else 8
+    chunk = int(sys.argv[2]) if len(sys.argv) > 2 else 2048
+    T = int(sys.argv[3]) if len(sys.argv) > 3 else 8
+    stage = sys.argv[4] if len(sys.argv) > 4 else "full"
+    cfg = DagrConfig()
+    H, W = 240, 320
+    NV = 45_000
+    model = DAGR(cfg, height=H, width=W)
+    rng = np.random.default_rng(0)
+    ev = random_events(rng, 1, cfg.n_nodes, width=W, height=H, n_valid=NV)
+    variables = model.init(jax.random.key(0), ev, train=False)
+
+    # distinct events per stream (the runtime memoizes identical work)
+    evs = [random_events(rng, 1, cfg.n_nodes, width=W, height=H,
+                         n_valid=NV) for _ in range(S)]
+    pos = np.stack([np.asarray(e.pos_px()[0])[:NV] for e in evs])
+    feat = np.stack([np.asarray(e.feat[0])[:NV] for e in evs])
+    chunks = chunk_streams(pos, feat, chunk)
+
+    srv = MultiStreamServer(cfg, H, W, n_streams=S, chunk=chunk)
+    srv.bench_stage = stage
+    chain = srv.make_chain(variables["params"], variables["batch_stats"], T)
+
+    probe = jax.jit(lambda x: x + 1)
+    _ = np.asarray(probe(jnp.zeros((), jnp.float32)))
+    ts = []
+    for i in range(3):
+        t0 = time.perf_counter()
+        _ = np.asarray(probe(jnp.float32(i)))
+        ts.append(time.perf_counter() - t0)
+    ovh = min(ts)
+    print(f"S={S} chunk={chunk} T={T} stage={stage} "
+          f"overhead {ovh*1e3:.1f} ms", flush=True)
+
+    def stacked(sel):
+        return tuple(jnp.stack([c[j] for c in sel]) for j in range(3))
+
+    st = srv.init_state()
+    t0 = time.perf_counter()
+    st, raw, cover = chain(st, *stacked(chunks[:T]))
+    _ = np.asarray(raw)
+    print(f"compile+first {time.perf_counter() - t0:.1f} s "
+          f"coverage_ok={bool(cover)}", flush=True)
+
+    lats = []
+    g = 1
+    for rep in range(6):
+        if (g + 1) * T > len(chunks):
+            st = srv.init_state()
+            g = 0
+        sel = chunks[g * T:(g + 1) * T]
+        g += 1
+        t0 = time.perf_counter()
+        st, raw, cover = chain(st, *stacked(sel))
+        _ = np.asarray(raw)
+        lats.append((time.perf_counter() - t0 - ovh) / T)
+    lats.sort()
+    step_ms = lats[len(lats) // 2] * 1e3
+    agg = S * chunk / (step_ms / 1e3) / 1e6
+    print(f"step p50 {step_ms:.2f} ms (min {lats[0]*1e3:.2f} max "
+          f"{lats[-1]*1e3:.2f}), per-stream {step_ms / S:.3f} ms, "
+          f"aggregate {agg:.3f} Mev/s, coverage_ok={bool(cover)}",
+          flush=True)
+
+
+if __name__ == "__main__":
+    main()

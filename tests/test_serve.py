@@ -1,0 +1,130 @@
+"""Multi-stream serving engine (streaming/serve.py) correctness.
+
+The serve path must (a) select bit-identical edges to the sync graph
+builder (the queue + row-gather search replaces the per-step sort-merge
+join but keeps the CUDA selection semantics: spiral order x recency,
+dt inclusive, self first), and (b) end-to-end match the sync forward
+to < 1e-4 — the same standard streaming/consistency.py enforces for
+the single-stream engine."""
+import jax
+import numpy as np
+
+from dagr_tpu.config import DagrConfig
+from dagr_tpu.data.synthetic import random_events
+from dagr_tpu.graph.build import build_graph
+from dagr_tpu.models.dagr import DAGR
+from dagr_tpu.streaming.serve import MultiStreamServer, chunk_streams
+
+W, H = 64, 48
+CFG = DagrConfig(n_nodes=128, max_neighbors=8, batch_size=1,
+                 node_chunk=256, radius=0.05)
+NV = 96
+
+
+def _streams(rng, n_streams):
+    evs = [random_events(rng, 1, CFG.n_nodes, width=W, height=H,
+                         n_valid=NV) for _ in range(n_streams)]
+    pos = np.stack([np.asarray(e.pos_px()[0])[:NV] for e in evs])
+    feat = np.stack([np.asarray(e.feat[0])[:NV] for e in evs])
+    return evs, pos, feat
+
+
+def test_serve_edges_match_builder():
+    rng = np.random.default_rng(0)
+    evs, pos, feat = _streams(rng, 2)
+    model = DAGR(CFG, height=H, width=W)
+    variables = model.init(jax.random.key(0), evs[0], train=False)
+
+    srv = MultiStreamServer(CFG, H, W, n_streams=2, chunk=32)
+    step = srv.make_step(variables["params"], variables["batch_stats"],
+                         debug=True)
+    st = srv.init_state()
+    got_nbr, got_mask = [], []
+    for c in chunk_streams(pos, feat, 32):
+        st, raw, info = step(st, *c)
+        got_nbr.append(np.asarray(info["nbr_vid"]))
+        got_mask.append(np.asarray(info["nbr_mask"]))
+    assert bool(info["coverage_ok"])
+    nbr = np.concatenate(got_nbr, axis=1)       # [S, NV, K]
+    mask = np.concatenate(got_mask, axis=1)
+
+    for s in range(2):
+        p = np.zeros((1, NV, 3), np.int32)
+        p[0] = pos[s]
+        g = build_graph(
+            p, np.ones((1, NV), bool), width=W, height=H,
+            radius=CFG.radius_px(W), delta_t_us=CFG.delta_t_us(),
+            max_neighbors=CFG.max_neighbors,
+            queue_size=CFG.max_queue_size)
+        ref_nbr = np.asarray(g.nbr[0])
+        ref_mask = np.asarray(g.nbr_mask[0])
+        np.testing.assert_array_equal(mask[s], ref_mask)
+        np.testing.assert_array_equal(
+            np.where(ref_mask, nbr[s], 0), np.where(ref_mask, ref_nbr, 0))
+
+
+def test_serve_matches_sync_forward():
+    rng = np.random.default_rng(1)
+    evs, pos, feat = _streams(rng, 3)
+    model = DAGR(CFG, height=H, width=W)
+    variables = model.init(jax.random.key(0), evs[0], train=False)
+
+    srv = MultiStreamServer(CFG, H, W, n_streams=3, chunk=32)
+    step = srv.make_step(variables["params"], variables["batch_stats"])
+    st = srv.init_state()
+    for c in chunk_streams(pos, feat, 32):
+        st, raw, info = step(st, *c)
+    assert bool(info["coverage_ok"])
+    raw = np.asarray(raw)
+
+    for s in range(3):
+        ref = np.asarray(jax.jit(
+            lambda v, e: model.apply(v, e, train=False)
+        )(variables, evs[s]))[0]
+        np.testing.assert_allclose(raw[s], ref, atol=1e-4)
+
+
+def test_serve_chain_matches_stepwise():
+    rng = np.random.default_rng(2)
+    evs, pos, feat = _streams(rng, 2)
+    model = DAGR(CFG, height=H, width=W)
+    variables = model.init(jax.random.key(0), evs[0], train=False)
+
+    srv = MultiStreamServer(CFG, H, W, n_streams=2, chunk=32)
+    chunks = chunk_streams(pos, feat, 32)
+    step = srv.make_step(variables["params"], variables["batch_stats"])
+    st = srv.init_state()
+    for c in chunks:
+        st, raw_ref, _ = step(st, *c)
+
+    chain = srv.make_chain(variables["params"], variables["batch_stats"],
+                           n_steps=len(chunks))
+    stacked = tuple(np.stack([c[j] for c in chunks]) for j in range(3))
+    st2, raw_last, cover = chain(srv.init_state(), *stacked)
+    assert bool(cover)
+    np.testing.assert_allclose(
+        np.asarray(raw_last), np.asarray(raw_ref), atol=1e-5)
+
+
+def test_coverage_flag_fires_on_queue_overflow():
+    """More same-pixel events inside the dt window than the queue depth
+    must trip the exactness certificate (the only loss mode of the
+    fixed-depth design)."""
+    n = 40
+    pos = np.zeros((1, n, 3), np.int32)
+    pos[0, :, 0] = 10
+    pos[0, :, 1] = 10                       # all at one pixel
+    pos[0, :, 2] = np.arange(n)             # all within dt
+    feat = np.ones((1, n, 1), np.float32)
+
+    model = DAGR(CFG, height=H, width=W)
+    rng = np.random.default_rng(0)
+    ev = random_events(rng, 1, CFG.n_nodes, width=W, height=H, n_valid=NV)
+    variables = model.init(jax.random.key(0), ev, train=False)
+
+    srv = MultiStreamServer(CFG, H, W, n_streams=1, chunk=20, queue_depth=4)
+    step = srv.make_step(variables["params"], variables["batch_stats"])
+    st = srv.init_state()
+    for c in chunk_streams(pos, feat, 20):
+        st, _, info = step(st, *c)
+    assert not bool(info["coverage_ok"])
