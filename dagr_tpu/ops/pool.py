@@ -79,16 +79,23 @@ def pool_graph(
     cy = jnp.clip((py * grid_ny).astype(jnp.int32), 0, grid_ny - 1)
     cell = cx + grid_nx * cy                                   # [B, N]
     seg = jnp.where(mask, cell, ncells)                       # overflow bin
+    # batch folds into the segment id (one flat segment op instead of a
+    # vmapped one per sample — vmapped scatter lowering loses the fast
+    # path on this backend, the same lesson as the graph builder)
+    seg_flat = (jnp.arange(B, dtype=jnp.int32)[:, None] * (ncells + 1)
+                + seg).reshape(B * N)
 
     def seg_sum(v):
-        return jax.vmap(
-            lambda s, val: jax.ops.segment_sum(val, s, num_segments=ncells + 1)
-        )(seg, v)[:, :ncells]
+        out = jax.ops.segment_sum(
+            v.reshape((B * N,) + v.shape[2:]), seg_flat,
+            num_segments=B * (ncells + 1))
+        return out.reshape((B, ncells + 1) + out.shape[1:])[:, :ncells]
 
     def seg_max(v):
-        return jax.vmap(
-            lambda s, val: jax.ops.segment_max(val, s, num_segments=ncells + 1)
-        )(seg, v)[:, :ncells]
+        out = jax.ops.segment_max(
+            v.reshape((B * N,) + v.shape[2:]), seg_flat,
+            num_segments=B * (ncells + 1))
+        return out.reshape((B, ncells + 1) + out.shape[1:])[:, :ncells]
 
     count = seg_sum(mask.astype(jnp.int32))                   # [B, ncells]
     cmask = count > 0
@@ -155,10 +162,7 @@ def pool_graph(
     bits = jnp.any(
         (o[..., None] == jnp.arange(9, dtype=o.dtype)) & evalid[..., None],
         axis=2)                                               # [B, N, 9]
-    adj = jax.vmap(
-        lambda s, v: jax.ops.segment_max(v, s, num_segments=ncells + 1)
-    )(seg, bits.astype(jnp.int32))
-    adj = adj[:, :ncells] > 0                                 # [B, ncells, 9]
+    adj = seg_max(bits.astype(jnp.int32)) > 0                 # [B, ncells, 9]
 
     # ---- stencil neighbor list on the cell table -------------------------
     cid = jnp.arange(ncells, dtype=jnp.int32)

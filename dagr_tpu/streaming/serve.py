@@ -8,39 +8,47 @@ stream count — the batched lowering of the per-step store sort and the
 8 per-stream state puts amortize nothing (the same anti-pattern as
 vmap-over-batch in the sync builder).  This engine is the rebuild:
 
-* **Per-pixel FIFO queues instead of a per-step store sort.**  The
-  CUDA reference searches a per-pixel event queue spiral-cell by
-  spiral-cell (reference: src/dagr/graph/ev_graph.cu:15-128 +
-  spiral.h); round 2 replaced that with a sort-merge join over the
-  whole store, which costs a full ``N + 2*C*S``-record sort EVERY
-  step.  Here the queue itself is the persistent state — a dense
-  ``[S*H*W, 2Q]`` table holding each pixel's newest Q (vid, t) pairs —
-  and a step does NO global sort at all: candidate lookup is one wide
-  row-gather of the 81 spiral-cell rows per new event (row gathers of
-  width 2..32 cost ~1.1 ns/index on this backend, the one fast
-  primitive; scripts/microbench2.py).  This is the CUDA design mapped
-  onto the TPU's fast path, not a translation of it.
-* **Streams fold into the pixel key** (row id ``s*H*W + pix``), the
-  exact trick that fixed the sync builder (graph/build.py folds batch
-  into the pixel id) — one queue update and one gather serve all
-  streams.
+* **The store shrinks to a ring of the last NR events per stream.**
+  Graph edges only ever reach ``delta_t`` back in time
+  (reference: ev_graph.cu:64-66), so the search never needs the full
+  50k-event window store the round-2 engine sorted every step — a ring
+  covering the dt horizon (with a per-step coverage certificate, see
+  below) carries identical information at a fraction of the records.
+* **Streams fold into the pixel key** (``s*H*W + pix``), the exact
+  trick that fixed the sync builder (graph/build.py folds batch into
+  the pixel id) — ONE sort/search serves all streams.
 * **Lockstep chunks, packed state.**  All streams ingest the same
   chunk size each step, so every per-node table is one
-  ``[S, N_ring, F]`` array written with ONE ``dynamic_update_slice``
+  ``[S, NR, F]`` array written with ONE ``dynamic_update_slice``
   (round 2's engine did 8+ separate per-stream puts).
 * **Stream-batched dense tail.**  The pooled pyramid + head run once
-  with batch = S — the tiny per-level matmuls (2.2k cells) finally
-  batch up to MXU-friendly shapes instead of being vmapped S times.
+  with batch = S instead of being vmapped S times.
+
+Two search implementations are provided (``search_mode``):
+
+* ``"sort"`` (default) — the insert/expire lex merge join of the sync
+  builder (graph/build.py) applied to the ring: one
+  ``S*(2*NR + C*81)``-record sort yields every (event, spiral-cell)
+  count, then the builder's own fused compare-and-reduce
+  ``_select_first_k`` picks the K-1 neighbors.  ``lax.sort`` is this
+  backend's one reliably-linear primitive (~2.8 ns/record at any
+  scale; scripts/microbench2.py).
+* ``"queue"`` — per-pixel FIFO rows of (vid, t) pairs searched by wide
+  row-gathers, the CUDA design (ev_graph.cu:15-128) mapped onto
+  gathers.  Measured: row-gathers are fast only while the table stays
+  under the backend's fast-memory knee (~10 MB); the S=8 queue table
+  (79 MB) gathers at ~35 ns/index (scripts/microbench3.py), so this
+  mode loses beyond a stream or two.  Kept as the measured
+  alternative and as a second oracle of the search semantics.
 
 Exactness: identical selection semantics to the sync builder (spiral
-order x recency, dt inclusive, self excluded) — the step additionally
-returns a ``coverage_ok`` certificate that is True whenever the
-fixed queue depth Q and the feature-ring length provably lost nothing
-(a pixel overflowing Q *within the dt window*, or >N_ring events
-arriving within dt, are the only loss modes; both are rate-bounded
-and both set the flag).  The serve-vs-sync consistency test pins the
-whole pipeline to the sync forward at < 1e-4, the same standard as
-streaming/consistency.py.
+order x recency, dt inclusive, self excluded, queue-size cap) — the
+step additionally returns a ``coverage_ok`` certificate that is True
+whenever the bounded state provably lost nothing (an event evicted
+from the ring while still inside some query's dt window is the only
+loss mode; it requires more than NR events to arrive within delta_t).
+The serve-vs-sync consistency test pins the whole pipeline to the
+sync forward at < 1e-4, the same standard as streaming/consistency.py.
 
 Window semantics are the reference's bounded-window protocol: state is
 reset per time window (reset=True per sample, reference:
@@ -59,21 +67,20 @@ from flax import struct
 
 from dagr_tpu.config import DagrConfig
 from dagr_tpu.core.types import EventGraph, NodeSet, GRID_OFFSETS
+from dagr_tpu.graph.build import _select_first_k, _take
 from dagr_tpu.graph.reference import spiral_offsets
 from dagr_tpu.models.blocks import activation_fn
 from dagr_tpu.models.functional import bn_eval, layer_eval, scale_head_eval
 from dagr_tpu.ops.pool import pool_nodeset
 from dagr_tpu.ops.spline import bilinear_basis
 
-T_EMPTY = np.int32(-(2 ** 30))    # queue time sentinel: fails every dt test
+T_EMPTY = np.int32(-(2 ** 30))    # time sentinel: fails every dt test
+TIE_EXPIRE = np.int32(2 ** 28)    # expire records sort after everything
 
 
 @struct.dataclass
 class ServeState:
     num: jnp.ndarray        # i32 [] events ingested per stream (lockstep)
-    queue: jnp.ndarray      # i32 [S*HW + 2, 2Q]: [vids(Q) | times(Q)],
-                            # newest first; row S*HW = query-dead (empty),
-                            # row S*HW+1 = write-dead (garbage sink)
     xin: jnp.ndarray        # f32 [S, NR, 1 + 2] (feat, px_norm, py_norm) ring
     x1: jnp.ndarray         # f32 [S, NR, C1] conv_block1 activations ring
     cell_cnt: jnp.ndarray   # i32 [S, G1]
@@ -81,7 +88,13 @@ class ServeState:
     pos_sum: jnp.ndarray    # f32 [S, G1, 3]
     tmax: jnp.ndarray       # f32 [S, G1]
     adj: jnp.ndarray        # bool [S, G1, 9]
-    coverage_ok: jnp.ndarray  # bool [] exactness certificate (see module doc)
+    coverage_ok: jnp.ndarray  # bool [] exactness certificate
+    # --- search_mode == "sort": event ring columns --------------------
+    pix_ring: Optional[jnp.ndarray] = None   # i32 [S*NR] folded pixel or DEAD
+    t_ring: Optional[jnp.ndarray] = None     # i32 [S, NR]
+    vid_ring: Optional[jnp.ndarray] = None   # i32 [S*NR]
+    # --- search_mode == "queue": per-pixel FIFO rows ------------------
+    queue: Optional[jnp.ndarray] = None      # i32 [S*HW + 2, 2Q]
 
 
 class MultiStreamServer:
@@ -91,17 +104,21 @@ class MultiStreamServer:
     tail chunk identically); times are window-relative microseconds."""
 
     def __init__(self, cfg: DagrConfig, height: int, width: int,
-                 n_streams: int, chunk: int,
+                 n_streams: int, chunk: int, search_mode: str = "sort",
                  queue_depth: int = 16, ring: Optional[int] = None):
+        assert search_mode in ("sort", "queue")
         self.cfg = cfg
         self.height, self.width = height, width
         self.S = n_streams
         self.chunk = chunk
+        self.search_mode = search_mode
         self.Q = queue_depth
-        # feature ring: must cover all events within delta_t; multiple of
-        # chunk so slice writes never straddle the wrap
+        # ring: must cover all events within delta_t (certified per
+        # step); multiple of chunk so slice writes never straddle the
+        # wrap, and >= 2 chunks so the previous chunk stays visible
         nr = ring or max(8192, 2 * chunk)
         self.NR = ((nr + chunk - 1) // chunk) * chunk
+        assert self.NR >= 2 * chunk
         ch = cfg.channels()
         self.c1 = ch[1]
         self.grids = cfg.grid_shapes()
@@ -115,21 +132,30 @@ class MultiStreamServer:
         R = self.radius
         self.cell_code = (offs[:, 0] + R) + 64 * (offs[:, 1] + R)
         # benchmarking aid: early-exit the step after a named stage
-        # ("insert" | "search" | "select" | "conv" | "agg" | "full");
-        # a python attr, so each setting is its own trace
+        # ("search" | "select" | "conv" | "agg" | "full"); a python
+        # attr, so each setting is its own trace
         self.bench_stage = "full"
 
     # ------------------------------------------------------------------
     def init_state(self) -> ServeState:
         S, Q, NR, G1 = self.S, self.Q, self.NR, self.ny1 * self.nx1
         HW = self.height * self.width
-        queue = jnp.concatenate([
-            jnp.full((S * HW + 2, Q), -1, jnp.int32),
-            jnp.full((S * HW + 2, Q), T_EMPTY, jnp.int32),
-        ], axis=1)
+        if self.search_mode == "queue":
+            queue = jnp.concatenate([
+                jnp.full((S * HW + 2, Q), -1, jnp.int32),
+                jnp.full((S * HW + 2, Q), T_EMPTY, jnp.int32),
+            ], axis=1)
+            rings = dict(pix_ring=None, t_ring=None, vid_ring=None,
+                         queue=queue)
+        else:
+            rings = dict(
+                pix_ring=jnp.full((S * NR,), np.int32(S * HW), jnp.int32),
+                t_ring=jnp.full((S, NR), T_EMPTY, jnp.int32),
+                vid_ring=jnp.full((S * NR,), -1, jnp.int32),
+                queue=None,
+            )
         return ServeState(
             num=jnp.zeros((), jnp.int32),
-            queue=queue,
             xin=jnp.zeros((S, NR, 3), jnp.float32),
             x1=jnp.zeros((S, NR, self.c1), jnp.float32),
             cell_cnt=jnp.zeros((S, G1), jnp.int32),
@@ -138,83 +164,173 @@ class MultiStreamServer:
             tmax=jnp.full((S, G1), -jnp.inf, jnp.float32),
             adj=jnp.zeros((S, G1, 9), bool),
             coverage_ok=jnp.ones((), bool),
+            **rings,
         )
 
     # ------------------------------------------------------------------
-    def step(self, params, batch_stats, state: ServeState,
-             chunk_pos_px, chunk_feat, chunk_valid, debug: bool = False
-             ) -> Tuple[ServeState, jnp.ndarray, Dict[str, jnp.ndarray]]:
-        """Ingest one lockstep chunk ([S, C, 3] i32 / [S, C, F] f32 /
-        [S, C] bool) and return (state, raw [S, A, 5+ncls], info)."""
+    # search_mode == "sort": ring + insert/expire lex merge join
+    # ------------------------------------------------------------------
+    def _search_sort(self, state: ServeState, x, y, t, cv, vid_f):
+        """Returns (state', src_tab [E, K-1] flat ring slots for feature
+        gathers, any_hit, code_sel, src_vid, cover)."""
         cfg = self.cfg
-        S, C, Q, NR = self.S, self.chunk, self.Q, self.NR
-        W, H, T = self.width, self.height, cfg.time_window_us
+        S, C, NR = self.S, self.chunk, self.NR
+        W, H = self.width, self.height
         HW = W * H
         E = S * C
-        G1 = self.ny1 * self.nx1
         K = cfg.max_neighbors
-        act = activation_fn(cfg.activation)
-        bb, sb = params["backbone"], batch_stats["backbone"]
+        DEAD = np.int32(S * HW)
+        n0 = state.num
+        r0 = n0 % NR
+        t_f = t.reshape(E)
+        s_off = (jnp.arange(self.S, dtype=jnp.int32) * HW)[:, None]
+
+        # coverage: events about to be evicted must be older than every
+        # query's dt window (per stream)
+        t_old = jax.lax.dynamic_slice(state.t_ring, (0, r0), (S, C))
+        min_t = jnp.min(jnp.where(cv, t, np.int32(2 ** 30)), axis=1)
+        cover = ~jnp.any(t_old >= (min_t - self.delta_t)[:, None])
+
+        # append the chunk to the ring columns
+        pix_c = jnp.where(cv, s_off + y * W + x, DEAD)           # [S, C]
+        pix_ring = jax.lax.dynamic_update_slice(
+            state.pix_ring.reshape(S, NR), pix_c, (0, r0)).reshape(-1)
+        t_ring = jax.lax.dynamic_update_slice(state.t_ring, t, (0, r0))
+        vid_ring = jax.lax.dynamic_update_slice(
+            state.vid_ring.reshape(S, NR),
+            jnp.broadcast_to(vid_f.reshape(S, C), (S, C)), (0, r0)
+        ).reshape(-1)
+        state = state.replace(pix_ring=pix_ring, t_ring=t_ring,
+                              vid_ring=vid_ring)
+
+        npts = S * NR
+        # ring slots in (pixel, vid) order == (pixel, time) order
+        _, _, order = jax.lax.sort(
+            (pix_ring, vid_ring, jnp.arange(npts, dtype=jnp.int32)),
+            num_keys=2)
+
+        # queue-size cap predicate from the sorted pixels (cheap): max
+        # per-pixel run length; the cap gather runs only when it bites
+        pix_s = _take(pix_ring, order)
+        idx_n = jnp.arange(npts, dtype=jnp.int32)
+        first = jnp.concatenate(
+            [jnp.ones((1,), bool), pix_s[1:] != pix_s[:-1]])
+        run_start = jax.lax.associative_scan(
+            jnp.maximum, jnp.where(first, idx_n, 0))
+        is_pad = pix_s >= DEAD
+        max_run = jnp.max(jnp.where(is_pad, 0, idx_n - run_start + 1))
+
+        # spiral query pixels
+        offs = self.offs
+        xn = x[..., None] + offs[None, None, :, 0]               # [S, C, NS]
+        yn = y[..., None] + offs[None, None, :, 1]
+        inb = ((xn >= 0) & (xn < W) & (yn >= 0) & (yn < H)
+               & cv[..., None])
+        qpix = jnp.where(inb, s_off[..., None] + yn * W + xn, DEAD)
+        qpix_f = qpix.reshape(E * self.NS)
+
+        # insert/expire/query lex merge join (graph/build.py:146-194):
+        # prefix_ins at a query = global data position of (pix, t_e,
+        # vid_e); prefix_ins - prefix_exp = #data within the dt window.
+        # Tie at equal (pixel, time): insert j < query e iff vid_j <
+        # vid_e; expires last (dt inclusive, ev_graph.cu:64-66).
+        t_rf = state.t_ring.reshape(-1)
+        pix_all = jnp.concatenate([pix_ring, pix_ring, qpix_f])
+        t_all = jnp.concatenate([
+            t_rf, t_rf + self.delta_t, jnp.repeat(t_f, self.NS)])
+        tie_all = jnp.concatenate([
+            vid_ring * 2 + 1,
+            TIE_EXPIRE + jnp.arange(npts, dtype=jnp.int32),
+            jnp.repeat(vid_f * 2, self.NS),
+        ])
+        payload = jnp.arange(pix_all.shape[0], dtype=jnp.int32)
+        _, _, tie_s, pay_s = jax.lax.sort(
+            (pix_all, t_all, tie_all, payload), num_keys=3)
+        is_exp = (tie_s >= TIE_EXPIRE).astype(jnp.int32)
+        is_ins = (tie_s & 1) * (1 - is_exp)
+        pref_ins = jnp.cumsum(is_ins, dtype=jnp.int32) - is_ins
+        pref_exp = jnp.cumsum(is_exp, dtype=jnp.int32) - is_exp
+        _, ins_u, exp_u = jax.lax.sort(
+            (pay_s, pref_ins, pref_exp), num_keys=1)
+        cnt_hi = ins_u[2 * npts:].reshape(E, self.NS)
+        cnt_t = exp_u[2 * npts:].reshape(E, self.NS)
+
+        # queue-size cap (reference ev_tgn.py:24: depth 128); the seg-end
+        # gather is paid only when some pixel actually overflows
+        def with_cap(_):
+            hist = jnp.zeros(S * HW + 1, jnp.int32).at[
+                jnp.minimum(pix_ring, DEAD)].add(
+                (pix_ring < DEAD).astype(jnp.int32))
+            seg_end = jnp.cumsum(hist[:-1], dtype=jnp.int32)
+            g_hi = _take(seg_end, jnp.clip(qpix_f, 0, S * HW - 1))
+            return jnp.where(inb.reshape(E, self.NS),
+                             g_hi.reshape(E, self.NS), 0) \
+                - cfg.max_queue_size
+
+        cap_lo = jax.lax.cond(
+            max_run > cfg.max_queue_size, with_cap,
+            lambda _: jnp.zeros_like(cnt_t), operand=None)
+        lo = jnp.maximum(cap_lo, cnt_t)
+        cnt = jnp.where(inb.reshape(E, self.NS),
+                        jnp.maximum(cnt_hi - lo, 0), 0)
+
+        if self.bench_stage == "search":
+            return state, None, None, None, None, cover, (cnt, cnt_hi)
+
+        src_tab, any_hit, code_sel = _select_first_k(
+            cnt, cnt_hi, order, K, npts, self.cell_code)
+        any_hit = any_hit & cv.reshape(E)[:, None]
+        src_vid = _take(vid_ring, jnp.clip(src_tab, 0, npts - 1))
+        return state, src_tab, any_hit, code_sel, src_vid, cover, None
+
+    # ------------------------------------------------------------------
+    # search_mode == "queue": per-pixel FIFO rows + wide row-gathers
+    # ------------------------------------------------------------------
+    def _search_queue(self, state: ServeState, x, y, t, cv, vid_f):
+        cfg = self.cfg
+        S, C, Q, NR = self.S, self.chunk, self.Q, self.NR
+        W, H = self.width, self.height
+        HW = W * H
+        E = S * C
+        K = cfg.max_neighbors
         DEAD_Q = np.int32(S * HW)
         DEAD_W = np.int32(S * HW + 1)
-
-        x = chunk_pos_px[..., 0]
-        y = chunk_pos_px[..., 1]
-        t = chunk_pos_px[..., 2]
-        cv = chunk_valid
-        n0 = state.num
-        vid = n0 + jnp.arange(C, dtype=jnp.int32)              # [C], per stream
-        vid_f = jnp.broadcast_to(vid[None], (S, C)).reshape(E)
+        t_f = t.reshape(E)
         s_off = (jnp.arange(S, dtype=jnp.int32) * HW)[:, None]
 
-        # ---- 1. queue insert (whole chunk; insert-then-search like the
-        # single-stream engine and the CUDA path, ev_graph.cu:130-166) --
+        # insert the whole chunk (insert-then-search, ev_graph.cu:130-166)
         spix = jnp.where(cv, s_off + y * W + x, DEAD_W).reshape(E)
         idx_e = jnp.arange(E, dtype=jnp.int32)
-        t_f = t.reshape(E)
         sp_s, _, vid_s, t_s = jax.lax.sort(
             (spix, idx_e, vid_f, t_f), num_keys=2)
-        # per-pixel runs in the sorted order; within a run, index order
-        # == time order (events are time-sorted per stream)
         first = jnp.concatenate(
             [jnp.ones((1,), bool), sp_s[1:] != sp_s[:-1]])
         is_last = jnp.concatenate(
             [sp_s[1:] != sp_s[:-1], jnp.ones((1,), bool)])
         run_start = jax.lax.associative_scan(
             jnp.maximum, jnp.where(first, idx_e, 0))
-        cnt_run = idx_e - run_start + 1
-        ecnt = jnp.minimum(cnt_run, Q)
-        # q-th newest chunk event of the run sits q positions back
+        ecnt = jnp.minimum(idx_e - run_start + 1, Q)
         qs = jnp.arange(Q, dtype=jnp.int32)
-        take_new = qs[None, :] < ecnt[:, None]                  # [E, Q]
+        take_new = qs[None, :] < ecnt[:, None]
         src_i = jnp.clip(idx_e[:, None] - qs[None, :], 0, E - 1)
-        vt = jnp.stack([vid_s, t_s], axis=1)                    # [E, 2]
+        vt = jnp.stack([vid_s, t_s], axis=1)
         got = jnp.take_along_axis(
             vt, src_i.reshape(-1)[:, None], axis=0).reshape(E, Q, 2)
-        orow = jnp.take_along_axis(
-            state.queue, sp_s[:, None], axis=0)                 # [E, 2Q]
+        orow = jnp.take_along_axis(state.queue, sp_s[:, None], axis=0)
         oshift = jnp.clip(qs[None, :] - ecnt[:, None], 0, Q - 1)
         old_v = jnp.take_along_axis(orow[:, :Q], oshift, axis=1)
         old_t = jnp.take_along_axis(orow[:, Q:], oshift, axis=1)
         new_row = jnp.concatenate([
             jnp.where(take_new, got[..., 0], old_v),
             jnp.where(take_new, got[..., 1], old_t),
-        ], axis=1)                                              # [E, 2Q]
+        ], axis=1)
         target = jnp.where(is_last, sp_s, DEAD_W)
         queue = state.queue.at[target].set(new_row)
+        state = state.replace(queue=queue)
 
-        def bail(st, *keep):
-            # keep the stage's outputs alive so XLA can't DCE them
-            chk = sum(jnp.sum(k) for k in keep).astype(jnp.float32)
-            raw = jnp.zeros((S, 1, 5 + cfg.num_classes), jnp.float32) + chk
-            return st, raw, {"coverage_ok": st.coverage_ok}
-
-        if self.bench_stage == "insert":
-            return bail(state.replace(num=n0 + C, queue=queue))
-
-        # ---- 2. spiral search by row-gather --------------------------
+        # spiral search by row-gather
         offs = self.offs
-        xn = x[..., None] + offs[None, None, :, 0]              # [S, C, NS]
+        xn = x[..., None] + offs[None, None, :, 0]
         yn = y[..., None] + offs[None, None, :, 1]
         inb = ((xn >= 0) & (xn < W) & (yn >= 0) & (yn < H)
                & cv[..., None])
@@ -222,15 +338,13 @@ class MultiStreamServer:
         rows = jnp.take_along_axis(
             queue, qpix.reshape(-1)[:, None], axis=0
         ).reshape(E, self.NS, 2 * Q)
-        vid_g = rows[..., :Q]                                   # [E, NS, Q]
+        vid_g = rows[..., :Q]
         t_g = rows[..., Q:]
         t_e = t_f[:, None, None]
         vid_e = vid_f[:, None, None]
-        in_dt = t_g >= t_e - self.delta_t       # dt inclusive (cu:64-66)
-        cand = in_dt & (vid_g >= 0) & (vid_g < vid_e)
-        # head entries newer-or-self (vids descend within a row)
-        first_older = jnp.sum(vid_g >= vid_e, axis=-1)          # [E, NS]
-        cnt = jnp.sum(cand, axis=-1).astype(jnp.int32)          # [E, NS]
+        cand = (t_g >= t_e - self.delta_t) & (vid_g >= 0) & (vid_g < vid_e)
+        first_older = jnp.sum(vid_g >= vid_e, axis=-1)
+        cnt = jnp.sum(cand, axis=-1).astype(jnp.int32)
         # coverage: if the DEEPEST kept entry is still inside the dt
         # window, deeper (dropped) entries might have been too
         miss = (t_g[..., Q - 1] >= (t_f[:, None] - self.delta_t)) \
@@ -238,17 +352,13 @@ class MultiStreamServer:
         cover = ~jnp.any(miss)
 
         if self.bench_stage == "search":
-            return bail(state.replace(num=n0 + C, queue=queue),
-                        cnt, first_older, cover)
+            return state, None, None, None, None, cover, (cnt, first_older)
 
-        # ---- 3. first-K-1 selection in (spiral cell, recency) --------
-        # fused compare-and-reduce over the NS axis (same trick as
-        # graph/build.py::_select_first_k: {s : cum[s] <= k} is a
-        # prefix; weighted reduces recover the selected cell's offset,
-        # first_older and cell code without any gather)
+        # first-K-1 selection in (spiral cell, recency) priority — the
+        # builder's compare-and-reduce, adapted to in-row positions
         cum = jnp.cumsum(cnt, axis=-1)
         ks = jnp.arange(K - 1, dtype=jnp.int32)
-        le = cum[:, :, None] <= ks[None, None, :]               # [E, NS, K-1]
+        le = cum[:, :, None] <= ks[None, None, :]
         cum_prev = jnp.sum(cnt[:, :, None] * le, axis=1)
         at_sel = jnp.logical_not(le) & ((cum - cnt)[:, :, None] <= ks)
         any_hit = (cum[:, -1:] > ks) & cv.reshape(E)[:, None]
@@ -261,21 +371,67 @@ class MultiStreamServer:
             jnp.asarray(self.cell_code, jnp.int32)[None, :, None] * at_sel,
             axis=1)
         depth = jnp.clip(fo_sel + w, 0, Q - 1)
-        flat_pick = scell * Q + depth                           # [E, K-1]
+        flat_pick = scell * Q + depth
         src_vid = jnp.take_along_axis(
             vid_g.reshape(E, self.NS * Q), flat_pick, axis=1)
         src_vid = jnp.where(any_hit, src_vid, 0)
-        # feature-ring staleness certificate (see module doc)
+        # feature-ring staleness certificate
         cover = cover & ~jnp.any(
             any_hit & (vid_f[:, None] - src_vid >= NR))
+        # ring feature index from the vid
+        s_base = (jnp.arange(S, dtype=jnp.int32) * NR)[:, None, None]
+        src_tab = (s_base + (src_vid % NR).reshape(S, C, K - 1)
+                   ).reshape(E, K - 1)
+        return state, src_tab, any_hit, code_sel, src_vid, cover, None
 
+    # ------------------------------------------------------------------
+    def step(self, params, batch_stats, state: ServeState,
+             chunk_pos_px, chunk_feat, chunk_valid, debug: bool = False
+             ) -> Tuple[ServeState, jnp.ndarray, Dict[str, jnp.ndarray]]:
+        """Ingest one lockstep chunk ([S, C, 3] i32 / [S, C, F] f32 /
+        [S, C] bool) and return (state, raw [S, A, 5+ncls], info)."""
+        cfg = self.cfg
+        S, C, NR = self.S, self.chunk, self.NR
+        W, H, T = self.width, self.height, cfg.time_window_us
+        E = S * C
+        G1 = self.ny1 * self.nx1
+        K = cfg.max_neighbors
+        act = activation_fn(cfg.activation)
+        bb, sb = params["backbone"], batch_stats["backbone"]
+
+        x = chunk_pos_px[..., 0]
+        y = chunk_pos_px[..., 1]
+        t = chunk_pos_px[..., 2]
+        cv = chunk_valid
+        n0 = state.num
+        r0 = n0 % NR
+        vid = n0 + jnp.arange(C, dtype=jnp.int32)
+        vid_f = jnp.broadcast_to(vid[None], (S, C)).reshape(E)
+
+        def bail(st, *keep):
+            # keep the stage's outputs alive so XLA can't DCE them
+            chk = jnp.float32(0) + sum(
+                jnp.sum(k).astype(jnp.float32) for k in keep)
+            raw = jnp.zeros((S, 1, 5 + cfg.num_classes), jnp.float32) + chk
+            return st, raw, {"coverage_ok": st.coverage_ok}
+
+        search = (self._search_sort if self.search_mode == "sort"
+                  else self._search_queue)
+        state, src_tab, any_hit, code_sel, src_vid, cover, chk = search(
+            state, x, y, t, cv, vid_f)
+        state = state.replace(
+            num=n0 + C, coverage_ok=state.coverage_ok & cover)
+        if self.bench_stage == "search":
+            return bail(state, *chk)
         if self.bench_stage == "select":
-            return bail(state.replace(num=n0 + C, queue=queue),
-                        src_vid, code_sel, any_hit, cover)
+            return bail(state, src_tab, any_hit, code_sel)
 
-        # ---- 4. event-level convs over the chunk's edges -------------
+        # ---- event-level convs over the chunk's edges ----------------
         # self edge first (slot 0, ev_graph.cu:44-46), then the picks
-        nbr_vid = jnp.concatenate([vid_f[:, None], src_vid], axis=1)
+        self_tab = ((jnp.arange(S, dtype=jnp.int32) * NR)[:, None]
+                    + r0 + jnp.arange(C, dtype=jnp.int32)[None, :]
+                    ).reshape(E, 1)
+        nbr_tab = jnp.concatenate([self_tab, src_tab], axis=1)   # [E, K]
         nbr_mask = jnp.concatenate([cv.reshape(E)[:, None], any_hit], axis=1)
         R = self.radius
         dxe = (code_sel % 64 - R).astype(jnp.float32) / np.float32(W)
@@ -296,13 +452,8 @@ class MultiStreamServer:
 
         # write the chunk into the feature ring, then gather sources —
         # same-chunk sources read the just-written rows
-        r0 = n0 % NR
-        xin = jax.lax.dynamic_update_slice(
-            state.xin, xin_c, (0, r0, 0))
-        ring_idx = (
-            (jnp.arange(S, dtype=jnp.int32) * NR)[:, None, None]
-            + (jnp.clip(nbr_vid, 0, None) % NR).reshape(S, C, K)
-        ).reshape(E * K)
+        xin = jax.lax.dynamic_update_slice(state.xin, xin_c, (0, r0, 0))
+        ring_idx = jnp.clip(nbr_tab, 0, S * NR - 1).reshape(E * K)
 
         p1 = bb["conv_block1"]
         s1 = sb["conv_block1"]
@@ -312,7 +463,10 @@ class MultiStreamServer:
                 table_flat, ring_idx[:, None], axis=0
             ).reshape(E, K, -1)
             b_m = basis * nbr_mask[..., None]
-            g = jnp.sum(b_m[..., None] * x_src[..., None, :], axis=1)
+            # batched dot on the MXU (2x the fused multiply+sum here)
+            g = jax.lax.dot_general(
+                b_m, x_src, dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32)           # [E, P, cin]
             P, cin, cout = w_tap.shape
             out = jnp.dot(g.reshape(E, P * cin), w_tap.reshape(P * cin, cout),
                           preferred_element_type=jnp.float32)
@@ -338,13 +492,12 @@ class MultiStreamServer:
                      s1["conv_block2"]["norm_skip"])
         x2 = act(h2 + sk)
         x2 = jnp.where(cv.reshape(E)[:, None], x2, 0.0)
+        state = state.replace(xin=xin, x1=x1)
 
         if self.bench_stage == "conv":
-            return bail(
-                state.replace(num=n0 + C, queue=queue, xin=xin, x1=x1),
-                x2, cover)
+            return bail(state, x2)
 
-        # ---- 5. level-1 monotone aggregates (streams fold into the
+        # ---- level-1 monotone aggregates (streams fold into the
         # segment id; mirrors engine.step's grow branch) ---------------
         px = jnp.clip(pos_norm[..., 0], 0.0, 0.9999999)
         py = jnp.clip(pos_norm[..., 1], 0.0, 0.9999999)
@@ -398,10 +551,8 @@ class MultiStreamServer:
         adj = state.adj | hit
 
         state = state.replace(
-            num=n0 + C, queue=queue, xin=xin, x1=x1,
             cell_cnt=cell_cnt, cell_max=cell_max, pos_sum=pos_sum,
             tmax=tmax, adj=adj,
-            coverage_ok=state.coverage_ok & cover,
         )
 
         if self.bench_stage == "agg":
@@ -410,7 +561,8 @@ class MultiStreamServer:
         raw = self._dense_tail(params, batch_stats, state)
         info: Dict[str, jnp.ndarray] = {"coverage_ok": state.coverage_ok}
         if debug:
-            info["nbr_vid"] = nbr_vid.reshape(S, C, K)
+            info["nbr_vid"] = jnp.concatenate(
+                [vid_f[:, None], src_vid], axis=1).reshape(S, C, K)
             info["nbr_mask"] = nbr_mask.reshape(S, C, K)
         return state, raw, info
 
@@ -498,8 +650,7 @@ class MultiStreamServer:
     # ------------------------------------------------------------------
     def make_step(self, params, batch_stats, debug: bool = False):
         """Jitted step(state, pos_px [S,C,3], feat [S,C,F], valid [S,C]);
-        the state argument is donated so the queue and rings update in
-        place."""
+        the state argument is donated so the rings update in place."""
 
         @functools.partial(jax.jit, donate_argnums=(0,))
         def _step(state, pos_px, feat, valid):
