@@ -18,11 +18,41 @@ measured empty-call overhead.  Timings are true steady-state device
 time per window.
 """
 import json
+import signal
 import time
 
 import numpy as np
 
 N_WINDOWS = 12
+
+
+class _SectionTimeout(Exception):
+    pass
+
+
+def run_section(budget_s, fn):
+    """Run ``fn(partial)`` under a SIGALRM budget.
+
+    ``fn`` fills the ``partial`` dict INCREMENTALLY (each completed rep
+    / sub-result lands immediately), so on timeout the evidence
+    collected so far survives with a ``timed_out`` marker instead of
+    vanishing into a ``null`` — a driver artifact must never lose the
+    streaming numbers entirely (round-2 verdict, weak item 4)."""
+    partial = {}
+
+    def onalarm(signum, frame):
+        raise _SectionTimeout()
+
+    old = signal.signal(signal.SIGALRM, onalarm)
+    signal.alarm(budget_s)
+    try:
+        fn(partial)
+    except _SectionTimeout:
+        partial["timed_out"] = True
+    finally:
+        signal.alarm(0)
+        signal.signal(signal.SIGALRM, old)
+    return partial
 
 
 def _overhead(jax, jnp):
@@ -85,25 +115,8 @@ def main():
     # The streaming/multistream sections are BEST-EFFORT: compile times
     # on this backend can degrade to >10 min per program, and the
     # headline JSON line must print regardless, so each detail section
-    # runs under a SIGALRM budget and reports null on timeout.
-    import signal
-
-    class _SectionTimeout(Exception):
-        pass
-
-    def _section(budget_s, fn):
-        def onalarm(signum, frame):
-            raise _SectionTimeout()
-        old = signal.signal(signal.SIGALRM, onalarm)
-        signal.alarm(budget_s)
-        try:
-            return fn()
-        except _SectionTimeout:
-            return None
-        finally:
-            signal.alarm(0)
-            signal.signal(signal.SIGALRM, old)
-
+    # runs under a SIGALRM budget; partial evidence is preserved on
+    # timeout (run_section).
     from dagr_tpu.streaming.engine import StreamingDetector, chunk_events
 
     chunk = 256
@@ -111,10 +124,12 @@ def main():
     feat = np.asarray(evs[0].feat[0])
     chunks = chunk_events(pos_px[:NV], feat[:NV], chunk)
 
-    def measure_p50():
-        eng = StreamingDetector(cfg, H, W, chunk=chunk, count_flops=False)
-        st = eng.init_state()
+    def stack(sel):
+        return (jnp.stack([c[0] for c in sel]),
+                jnp.stack([c[1] for c in sel]),
+                jnp.stack([c[2] for c in sel]))
 
+    def _chain(eng):
         # chain chunk steps inside one jit so the tunnel overhead
         # amortizes; p50 is per-chunk device latency
         def chain(st, ps, fs, vs):
@@ -124,69 +139,154 @@ def main():
                 return s, raw
             st, raws = jax.lax.scan(body, st, (ps, fs, vs))
             return st, raws
+        return jax.jit(chain)
 
-        def stack(sel):
-            return (jnp.stack([c[0] for c in sel]),
-                    jnp.stack([c[1] for c in sel]),
-                    jnp.stack([c[2] for c in sel]))
+    def _record(out, lat):
+        """Median + spread over completed reps, updated incrementally."""
+        ms = sorted(x * 1e3 for x in lat)
+        out["p50_ms"] = round(ms[len(ms) // 2], 2)
+        out["min_ms"] = round(ms[0], 2)
+        out["max_ms"] = round(ms[-1], 2)
+        out["reps"] = len(ms)
 
-        chain_j = jax.jit(chain)
+    N_REPS = 16            # >= 16 reps: the p50 was too noisy at 4
+                           # (round-2 verdict, weak item 3)
+
+    def measure_p50(out):
+        eng = StreamingDetector(cfg, H, W, chunk=chunk, count_flops=False)
+        st = eng.init_state()
+        chain_j = _chain(eng)
         for g in range(5):                           # compile + warm fill
             st, raws = chain_j(st, *stack(chunks[8 * g:8 * g + 8]))
         _ = np.asarray(raws)
         lat = []
-        for rep in range(4):
+        for rep in range(N_REPS):
             sel = chunks[40 + 8 * (rep % 2):48 + 8 * (rep % 2)]
             t0 = time.perf_counter()
             st, raws = chain_j(st, *stack(sel))
             _ = np.asarray(raws)
             lat.append((time.perf_counter() - t0 - ovh) / 8)
-        return sorted(lat)[len(lat) // 2] * 1e3
+            _record(out, lat)
 
-    p50 = _section(1500, measure_p50)
-
-    # ---- multi-stream serving: 8 vmapped streams per chip -------------
-    # throughput-oriented: 1024-event chunks (the fixed dense-tail cost
-    # dominates tiny chunks; single-stream LATENCY is the p50 above),
-    # chained inside one jit so the number is device time
-    S, mchunk = 8, 1024
-
-    def measure_multistream():
-        engm = StreamingDetector(cfg, H, W, chunk=mchunk, count_flops=False)
-        mchunks = chunk_events(pos_px[:NV], feat[:NV], mchunk)
-
-        def one(state, p, f_, v):
-            s, raw, _ = engm.step(variables["params"],
-                                  variables["batch_stats"], state, p, f_, v)
-            return s, raw
-
-        def chain_m(sts, ps, fs, vs):
-            def body(s, pfv):
-                s, raw = jax.vmap(one)(s, *pfv)
-                return s, raw[:, 0, 0, 0]
-            return jax.lax.scan(body, sts, (ps, fs, vs))
-
-        chain_mj = jax.jit(chain_m)
-        sts = engm.init_states(S)
-        mch = [tuple(np.stack([c[j]] * S) for j in range(3))
-               for c in mchunks[:32]]
-
-        def stack_m(sel):
-            return tuple(jnp.stack([c[j] for c in sel]) for j in range(3))
-
-        sts, _ = chain_mj(sts, *stack_m(mch[:8]))      # compile + fill
-        sts, _ = chain_mj(sts, *stack_m(mch[8:16]))
-        _ = np.asarray(jax.tree.leaves(sts)[0]).ravel()[:1]
-        lat_m = []
-        for rep in range(2):
-            sel = mch[16 + 8 * rep:24 + 8 * rep]
+    def measure_ring_p50(out):
+        """Sliding-window (ring) steady state: the store is FULL and
+        every chunk evicts the oldest events (reference delete_nodes,
+        ev_graph.py:121-136).  A 2-window stream wraps the 50k-slot
+        ring so eviction + live-store aggregate recompute are what is
+        measured."""
+        eng = StreamingDetector(cfg, H, W, chunk=chunk, count_flops=False,
+                                window_mode="ring")
+        st = eng.init_state()
+        p2 = np.concatenate([pos_px[:NV], pos_px[:NV]])
+        p2[NV:, 2] += cfg.time_window_us        # second window, later times
+        f2 = np.concatenate([feat[:NV], feat[:NV]])
+        rchunks = chunk_events(p2, f2, chunk)
+        chain_j = _chain(eng)
+        n_fill = cfg.n_nodes // chunk + 8       # wrap the ring
+        for g in range(0, n_fill, 8):
+            st, raws = chain_j(st, *stack(rchunks[g:g + 8]))
+        _ = np.asarray(raws)
+        lat = []
+        for rep in range(N_REPS):
+            sel = rchunks[n_fill + 8 * (rep % 8):n_fill + 8 * (rep % 8) + 8]
             t0 = time.perf_counter()
-            sts, raws = chain_mj(sts, *stack_m(sel))
+            st, raws = chain_j(st, *stack(sel))
             _ = np.asarray(raws)
-            lat_m.append((time.perf_counter() - t0 - ovh) / 8)
-        return S * mchunk / min(lat_m) / 1e6
+            lat.append((time.perf_counter() - t0 - ovh) / 8)
+            _record(out, lat)
 
-    ms_mev = _section(1500, measure_multistream)
+    p50 = run_section(1200, measure_p50)
+    ring = run_section(1200, measure_ring_p50)
+
+    # ---- multi-stream serving (queue/ring engine, streaming/serve.py):
+    # S lockstep streams folded into one search + a stream-batched tail.
+    # Round 2 served via vmap over the single-stream engine and was
+    # FLAT across stream counts (0.26-0.29 Mev/s); this engine is the
+    # round-3 rebuild.  The S=8/c1024 point keeps protocol continuity
+    # with BENCH_r02; larger chunks amortize the per-step dense tail.
+    from dagr_tpu.streaming.serve import MultiStreamServer, chunk_streams
+
+    def measure_serving(out):
+        # distinct events per stream (the runtime memoizes repeats)
+        rng2 = np.random.default_rng(7)
+        evss = [random_events(rng2, 1, cfg.n_nodes, width=W, height=H,
+                              n_valid=NV) for _ in range(16)]
+        posS = np.stack([np.asarray(e.pos_px()[0])[:NV] for e in evss])
+        featS = np.stack([np.asarray(e.feat[0])[:NV] for e in evss])
+
+        def run_cfg(S, mchunk, T_steps, reps=4):
+            srv = MultiStreamServer(cfg, H, W, n_streams=S, chunk=mchunk)
+            chain = srv.make_chain(
+                variables["params"], variables["batch_stats"], T_steps)
+            chunks = chunk_streams(posS[:S], featS[:S], mchunk)
+
+            def stacked(sel):
+                return tuple(
+                    jnp.stack([c[j] for c in sel]) for j in range(3))
+
+            st = srv.init_state()
+            st, raw, cover = chain(st, *stacked(chunks[:T_steps]))
+            _ = np.asarray(raw)
+            lats = []
+            g = 1
+            for rep in range(reps):
+                if (g + 1) * T_steps > len(chunks):
+                    st, g = srv.init_state(), 0
+                sel = chunks[g * T_steps:(g + 1) * T_steps]
+                g += 1
+                t0 = time.perf_counter()
+                st, raw, cover = chain(st, *stacked(sel))
+                _ = np.asarray(raw)
+                lats.append((time.perf_counter() - t0 - ovh) / T_steps)
+            lats.sort()
+            step_ms = lats[len(lats) // 2]
+            assert bool(cover), "serving coverage certificate failed"
+            return round(S * mchunk / step_ms / 1e6, 3)
+
+        out["s8_c1024_mevents_s"] = run_cfg(8, 1024, 8)
+        out["mevents_s"] = out["s8_c1024_mevents_s"]   # continuity alias
+        out["s8_c4096_mevents_s"] = run_cfg(8, 4096, 4)
+        out["s16_c4096_mevents_s"] = run_cfg(16, 4096, 4)
+
+    ms = run_section(1800, measure_serving)
+
+    # ---- batched-window sync eval (reference protocol, batch 8) ------
+    # Measured B=2/4 cost MORE per window than B=1 (bitonic n-log2-n
+    # growth of the batch-folded sort; BENCH_NOTES.md §2), so B=1 stays
+    # the headline; the B=8 number is recorded for protocol parity.
+    # The B=8 program (33M-record sort) compiles slowly — run last so a
+    # timeout cannot eat the other sections.
+    def measure_batched(out):
+        Bw = 8
+        cfgB = cfg.replace(batch_size=Bw)
+        modelB = DAGR(cfgB, height=H, width=W)
+        rngB = np.random.default_rng(3)
+        evsB = [random_events(rngB, Bw, cfgB.n_nodes, width=W, height=H,
+                              n_valid=NV) for _ in range(2)]
+        stackB = jax.device_put(jax.tree.map(lambda *a: jnp.stack(a), *evsB))
+        varB = jax.device_put(
+            modelB.init(jax.random.key(0), evsB[0], train=False))
+
+        def runB(variables, stack, bump):
+            def step(c, ev):
+                ev = ev.replace(feat=jnp.where(c < -1e9, 0.0, ev.feat))
+                raw = modelB.apply(variables, ev, train=False)
+                det = detect(raw, cfgB, H, W)
+                return c + det["scores"][0, 0], det["scores"].sum()
+            return jax.lax.scan(step, bump, stack)
+
+        fB = jax.jit(runB)
+        _ = np.asarray(fB(varB, stackB, jnp.float32(0))[0])
+        best = None
+        for i in range(3):
+            t0 = time.perf_counter()
+            _ = np.asarray(fB(varB, stackB, jnp.float32(i + 3))[0])
+            el = (time.perf_counter() - t0 - ovh) / 2
+            best = el if best is None else min(best, el)
+            out["ms_per_window"] = round(best / Bw * 1e3, 2)
+            out["mevents_s"] = round(Bw * NV / best / 1e6, 3)
+
+    batched = run_section(2100, measure_batched)
 
     print(json.dumps({
         "metric": "sync_inference_throughput",
@@ -199,9 +299,16 @@ def main():
             "distinct_windows": N_WINDOWS,
             "tunnel_overhead_ms_subtracted": round(ovh * 1e3, 1),
             "streaming_p50_latency_ms_per_256ev_chunk": (
-                round(p50, 2) if p50 is not None else None),
+                p50.get("p50_ms") if p50 else None),
+            "streaming_p50_spread": p50,
+            "ring_p50_ms": ring.get("p50_ms") if ring else None,
+            "ring_p50_spread": ring,
             "multistream_8x_c1024_mevents_s": (
-                round(ms_mev, 3) if ms_mev is not None else None),
+                ms.get("mevents_s") if ms else None),
+            "serving": ms,
+            "batched_eval_b8_mevents_s": (
+                batched.get("mevents_s") if batched else None),
+            "batched_eval": batched,
             "model": "dagr-s events-only, 320x240, incl. graph build + NMS",
         },
     }))

@@ -8,6 +8,7 @@ to < 1e-4 — the same standard streaming/consistency.py enforces for
 the single-stream engine."""
 import jax
 import numpy as np
+import pytest
 
 from dagr_tpu.config import DagrConfig
 from dagr_tpu.data.synthetic import random_events
@@ -29,13 +30,15 @@ def _streams(rng, n_streams):
     return evs, pos, feat
 
 
-def test_serve_edges_match_builder():
+@pytest.mark.parametrize("mode", ["sort", "queue"])
+def test_serve_edges_match_builder(mode):
     rng = np.random.default_rng(0)
     evs, pos, feat = _streams(rng, 2)
     model = DAGR(CFG, height=H, width=W)
     variables = model.init(jax.random.key(0), evs[0], train=False)
 
-    srv = MultiStreamServer(CFG, H, W, n_streams=2, chunk=32)
+    srv = MultiStreamServer(CFG, H, W, n_streams=2, chunk=32,
+                            search_mode=mode)
     step = srv.make_step(variables["params"], variables["batch_stats"],
                          debug=True)
     st = srv.init_state()
@@ -63,13 +66,20 @@ def test_serve_edges_match_builder():
             np.where(ref_mask, nbr[s], 0), np.where(ref_mask, ref_nbr, 0))
 
 
-def test_serve_matches_sync_forward():
+@pytest.mark.parametrize("mode,cfg", [
+    ("sort", CFG), ("queue", CFG),
+    # single-scale + temporal-ordering variant (the ncaltech-style
+    # config exercises the outs[-1:] tail and the tmax edge filter)
+    ("sort", CFG.replace(num_scales=1, keep_temporal_ordering=True)),
+])
+def test_serve_matches_sync_forward(mode, cfg):
     rng = np.random.default_rng(1)
     evs, pos, feat = _streams(rng, 3)
-    model = DAGR(CFG, height=H, width=W)
+    model = DAGR(cfg, height=H, width=W)
     variables = model.init(jax.random.key(0), evs[0], train=False)
 
-    srv = MultiStreamServer(CFG, H, W, n_streams=3, chunk=32)
+    srv = MultiStreamServer(cfg, H, W, n_streams=3, chunk=32,
+                            search_mode=mode)
     step = srv.make_step(variables["params"], variables["batch_stats"])
     st = srv.init_state()
     for c in chunk_streams(pos, feat, 32):
@@ -122,9 +132,82 @@ def test_coverage_flag_fires_on_queue_overflow():
     ev = random_events(rng, 1, CFG.n_nodes, width=W, height=H, n_valid=NV)
     variables = model.init(jax.random.key(0), ev, train=False)
 
-    srv = MultiStreamServer(CFG, H, W, n_streams=1, chunk=20, queue_depth=4)
+    srv = MultiStreamServer(CFG, H, W, n_streams=1, chunk=20, queue_depth=4,
+                            search_mode="queue")
     step = srv.make_step(variables["params"], variables["batch_stats"])
     st = srv.init_state()
     for c in chunk_streams(pos, feat, 20):
         st, _, info = step(st, *c)
     assert not bool(info["coverage_ok"])
+
+
+def test_coverage_flag_fires_on_ring_overflow():
+    """sort mode: evicting an event that is still inside some query's
+    dt window must trip the certificate (its only loss mode)."""
+    n = 200                                 # > ring (2 * chunk = 80)
+    rng = np.random.default_rng(3)
+    pos = np.zeros((1, n, 3), np.int32)
+    pos[0, :, 0] = rng.integers(0, W, n)
+    pos[0, :, 1] = rng.integers(0, H, n)
+    pos[0, :, 2] = np.arange(n)             # all within dt of each other
+    feat = np.ones((1, n, 1), np.float32)
+
+    model = DAGR(CFG, height=H, width=W)
+    ev = random_events(rng, 1, CFG.n_nodes, width=W, height=H, n_valid=NV)
+    variables = model.init(jax.random.key(0), ev, train=False)
+
+    srv = MultiStreamServer(CFG, H, W, n_streams=1, chunk=40, ring=80,
+                            search_mode="sort")
+    step = srv.make_step(variables["params"], variables["batch_stats"])
+    st = srv.init_state()
+    for c in chunk_streams(pos, feat, 40):
+        st, _, info = step(st, *c)
+    assert not bool(info["coverage_ok"])
+
+
+def test_sort_mode_queue_cap_matches_builder():
+    """Force a pixel past max_queue_size so the cond-guarded cap path
+    executes, and pin it to the sync builder's selection.
+
+    When the cap BINDS, batch and streaming sequencing genuinely
+    differ in the reference too: the batch path (graph/utils.py:6-18)
+    inserts the WHOLE window before searching, so the newest-Q window
+    is relative to the final queue, while the streaming path
+    (ev_graph.py:62-103) inserts chunk-by-chunk.  Serve implements the
+    streaming semantics, so each chunk is pinned against the builder
+    run on the event PREFIX up to that chunk (identical queue state)."""
+    cfg = CFG.replace(max_queue_size=4)
+    n = 64
+    rng = np.random.default_rng(4)
+    pos = np.zeros((1, n, 3), np.int32)
+    pos[0, :, 0] = rng.integers(0, 4, n)     # hot 4x3 pixel patch
+    pos[0, :, 1] = rng.integers(0, 3, n)
+    pos[0, :, 2] = np.sort(rng.integers(0, 4000, n))
+    feat = np.ones((1, n, 1), np.float32)
+
+    model = DAGR(cfg, height=H, width=W)
+    ev = random_events(rng, 1, cfg.n_nodes, width=W, height=H, n_valid=NV)
+    variables = model.init(jax.random.key(0), ev, train=False)
+
+    srv = MultiStreamServer(cfg, H, W, n_streams=1, chunk=16,
+                            search_mode="sort")
+    step = srv.make_step(variables["params"], variables["batch_stats"],
+                         debug=True)
+    st = srv.init_state()
+    for k, c in enumerate(chunk_streams(pos, feat, 16)):
+        st, _, info = step(st, *c)
+        assert bool(info["coverage_ok"])
+        nbr = np.asarray(info["nbr_vid"])[0]
+        mask = np.asarray(info["nbr_mask"])[0]
+
+        hi = 16 * (k + 1)
+        g = build_graph(
+            pos[:, :hi], np.ones((1, hi), bool), width=W, height=H,
+            radius=cfg.radius_px(W), delta_t_us=cfg.delta_t_us(),
+            max_neighbors=cfg.max_neighbors,
+            queue_size=cfg.max_queue_size)
+        ref_nbr = np.asarray(g.nbr[0])[16 * k:]
+        ref_mask = np.asarray(g.nbr_mask[0])[16 * k:]
+        np.testing.assert_array_equal(mask, ref_mask)
+        np.testing.assert_array_equal(
+            np.where(ref_mask, nbr, 0), np.where(ref_mask, ref_nbr, 0))
