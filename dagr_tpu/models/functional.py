@@ -135,10 +135,17 @@ def spline_conv_gather(
         / (2.0 * max_value) + 0.5
     attr = jnp.clip(attr, 0.0, 1.0)
     basis = bilinear_basis(attr, kernel_size)              # [C*K, P]
-    w_flat = jnp.transpose(weight, (1, 0, 2)).reshape(cin, P * cout)
-    z = jnp.dot(x_src, w_flat, preferred_element_type=jnp.float32)
-    msg = jnp.einsum("ep,epo->eo", basis, z.reshape(-1, P, cout))
-    msg = (msg.reshape(C, K, cout) * nbr_mask[..., None]).sum(axis=1)
+    # factored node form (spline_conv impl="node_dot"): aggregate the
+    # masked basis-weighted sources per (dst, tap) with one batched
+    # dot_general, then a single node-level MXU matmul — K*Cout/(K+Cout)
+    # ~ 8x fewer MXU FLOPs than the edge-major form at K=16
+    b_m = basis.reshape(C, K, P) * nbr_mask[..., None]
+    g = jax.lax.dot_general(
+        b_m, x_src.reshape(C, K, cin),
+        dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)                # [C, P, Cin]
+    msg = jnp.dot(g.reshape(C, P * cin), weight.reshape(P * cin, cout),
+                  preferred_element_type=jnp.float32)
     if root is not None:
         msg = msg + dst_x @ root
     if bias is not None:
