@@ -40,6 +40,15 @@ Two search implementations are provided (``search_mode``):
   (79 MB) gathers at ~35 ns/index (scripts/microbench3.py), so this
   mode loses beyond a stream or two.  Kept as the measured
   alternative and as a second oracle of the search semantics.
+* ``"slab"`` — the queue design re-laid-out for this backend's slice
+  gather: the FIFO table is padded to ``[S, H+2R, W+2R, 2Q]`` and ONE
+  ``lax.gather`` with ``slice_sizes=(1, 2R+1, 2R+1, 2Q)`` fetches an
+  event's ENTIRE spiral neighborhood in a single slice — measured 209
+  ns/event at full serving scale (E=65536, 83 MB table,
+  scripts/microbench4.py) where the 81 per-cell row-gathers of
+  ``"queue"`` mode cost ~2.8 us/event.  Selection picks then ride
+  one-hot ``dot_general`` (~3 ns/pick) instead of minor-axis
+  ``take_along_axis``.  Same FIFO semantics, same certificates.
 
 Exactness: identical selection semantics to the sync builder (spiral
 order x recency, dt inclusive, self excluded, queue-size cap) — the
@@ -76,6 +85,7 @@ from dagr_tpu.ops.spline import bilinear_basis
 
 T_EMPTY = np.int32(-(2 ** 30))    # time sentinel: fails every dt test
 TIE_EXPIRE = np.int32(2 ** 28)    # expire records sort after everything
+DV_CLIP = np.int32(2 ** 20)       # vid-delta transport clip (exact in f32)
 
 
 @struct.dataclass
@@ -94,6 +104,7 @@ class ServeState:
     t_ring: Optional[jnp.ndarray] = None     # i32 [S, NR]
     vid_ring: Optional[jnp.ndarray] = None   # i32 [S*NR]
     # --- search_mode == "queue": per-pixel FIFO rows ------------------
+    # ("slab" reuses this field with the padded [S*Hp*Wp, 2Q] layout)
     queue: Optional[jnp.ndarray] = None      # i32 [S*HW + 2, 2Q]
 
 
@@ -106,7 +117,7 @@ class MultiStreamServer:
     def __init__(self, cfg: DagrConfig, height: int, width: int,
                  n_streams: int, chunk: int, search_mode: str = "sort",
                  queue_depth: int = 16, ring: Optional[int] = None):
-        assert search_mode in ("sort", "queue")
+        assert search_mode in ("sort", "queue", "slab")
         self.cfg = cfg
         self.height, self.width = height, width
         self.S = n_streams
@@ -131,6 +142,13 @@ class MultiStreamServer:
         self.NS = offs.shape[0]
         R = self.radius
         self.cell_code = (offs[:, 0] + R) + 64 * (offs[:, 1] + R)
+        # slab mode: the spiral offsets tile the full (2R+1)^2 square,
+        # so each spiral cell has a unique row-major slice position and
+        # the mapping is a bijection (perm for counts, inverse for the
+        # one-hot value picks)
+        self.rm_of_spiral = (offs[:, 1] + R) * (2 * R + 1) + (offs[:, 0] + R)
+        assert np.array_equal(np.sort(self.rm_of_spiral), np.arange(self.NS))
+        self.spiral_of_rm = np.argsort(self.rm_of_spiral)
         # benchmarking aid: early-exit the step after a named stage
         # ("search" | "select" | "conv" | "agg" | "full"); a python
         # attr, so each setting is its own trace
@@ -144,6 +162,17 @@ class MultiStreamServer:
             queue = jnp.concatenate([
                 jnp.full((S * HW + 2, Q), -1, jnp.int32),
                 jnp.full((S * HW + 2, Q), T_EMPTY, jnp.int32),
+            ], axis=1)
+            rings = dict(pix_ring=None, t_ring=None, vid_ring=None,
+                         queue=queue)
+        elif self.search_mode == "slab":
+            # padded per-stream FIFO table; border rows stay sentinel
+            # forever, so out-of-frame spiral cells auto-fail candidacy
+            R = self.radius
+            nrow = S * (self.height + 2 * R) * (self.width + 2 * R)
+            queue = jnp.concatenate([
+                jnp.full((nrow, Q), -1, jnp.int32),
+                jnp.full((nrow, Q), T_EMPTY, jnp.int32),
             ], axis=1)
             rings = dict(pix_ring=None, t_ring=None, vid_ring=None,
                          queue=queue)
@@ -284,6 +313,34 @@ class MultiStreamServer:
         return state, src_tab, any_hit, code_sel, src_vid, cover, None
 
     # ------------------------------------------------------------------
+    @staticmethod
+    def _fifo_shift(orow, ecnt, Q):
+        """Shift a gathered FIFO row down by ``ecnt`` slots (the CUDA
+        queue push, ev_graph.cu:130-166) and return ``(old_v, old_t)``.
+
+        Minor-axis ``take_along_axis`` at this shape measures 503
+        ns/event on this backend vs 13 ns/event for a one-hot
+        ``dot_general`` (scripts/microbench5.py) — so the shift rides
+        the MXU.  int32 payloads are split into 16-bit halves before
+        the f32 dot (each half < 2**16 is exactly representable and the
+        one-hot contraction sums a single term), so the transport is
+        exact over the FULL int32 range incl. sentinels."""
+        E = orow.shape[0]
+        qs = jnp.arange(Q, dtype=jnp.int32)
+        oshift = jnp.clip(qs[None, :] - ecnt[:, None], 0, Q - 1)
+        oh = (oshift[:, :, None] == qs[None, None, :]).astype(jnp.float32)
+        r = orow.reshape(E, 2, Q)
+        hi = jax.lax.shift_right_arithmetic(r, 16).astype(jnp.float32)
+        lo = (r & 0xFFFF).astype(jnp.float32)
+        parts = jnp.concatenate([hi, lo], axis=1)               # [E, 4, Q]
+        picked = jax.lax.dot_general(
+            oh, parts, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)                 # [E, Q, 4]
+        picked = picked.astype(jnp.int32)
+        merged = (picked[..., :2] << 16) | picked[..., 2:]      # [E, Q, 2]
+        return merged[..., 0], merged[..., 1]
+
+    # ------------------------------------------------------------------
     # search_mode == "queue": per-pixel FIFO rows + wide row-gathers
     # ------------------------------------------------------------------
     def _search_queue(self, state: ServeState, x, y, t, cv, vid_f):
@@ -317,9 +374,7 @@ class MultiStreamServer:
         got = jnp.take_along_axis(
             vt, src_i.reshape(-1)[:, None], axis=0).reshape(E, Q, 2)
         orow = jnp.take_along_axis(state.queue, sp_s[:, None], axis=0)
-        oshift = jnp.clip(qs[None, :] - ecnt[:, None], 0, Q - 1)
-        old_v = jnp.take_along_axis(orow[:, :Q], oshift, axis=1)
-        old_t = jnp.take_along_axis(orow[:, Q:], oshift, axis=1)
+        old_v, old_t = self._fifo_shift(orow, ecnt, Q)
         new_row = jnp.concatenate([
             jnp.where(take_new, got[..., 0], old_v),
             jnp.where(take_new, got[..., 1], old_t),
@@ -338,43 +393,21 @@ class MultiStreamServer:
         rows = jnp.take_along_axis(
             queue, qpix.reshape(-1)[:, None], axis=0
         ).reshape(E, self.NS, 2 * Q)
+        return self._finish_queue_search(state, rows, t_f, vid_f, cv,
+                                         row_major=False)
+
+    def _finish_queue_search(self, state, rows, t_f, vid_f, cv, row_major):
+        """Shared tail of the FIFO-row searches: selection + the
+        staleness certificate + the vid -> feature-ring-slot map."""
+        S, C, Q, NR = self.S, self.chunk, self.Q, self.NR
+        E = S * C
+        K = self.cfg.max_neighbors
         vid_g = rows[..., :Q]
         t_g = rows[..., Q:]
-        t_e = t_f[:, None, None]
-        vid_e = vid_f[:, None, None]
-        cand = (t_g >= t_e - self.delta_t) & (vid_g >= 0) & (vid_g < vid_e)
-        first_older = jnp.sum(vid_g >= vid_e, axis=-1)
-        cnt = jnp.sum(cand, axis=-1).astype(jnp.int32)
-        # coverage: if the DEEPEST kept entry is still inside the dt
-        # window, deeper (dropped) entries might have been too
-        miss = (t_g[..., Q - 1] >= (t_f[:, None] - self.delta_t)) \
-            & inb.reshape(E, self.NS)
-        cover = ~jnp.any(miss)
-
+        any_hit, code_sel, src_vid, cover, chk = self._pick_neighbors(
+            vid_g, t_g, t_f, vid_f, cv, row_major=row_major)
         if self.bench_stage == "search":
-            return state, None, None, None, None, cover, (cnt, first_older)
-
-        # first-K-1 selection in (spiral cell, recency) priority — the
-        # builder's compare-and-reduce, adapted to in-row positions
-        cum = jnp.cumsum(cnt, axis=-1)
-        ks = jnp.arange(K - 1, dtype=jnp.int32)
-        le = cum[:, :, None] <= ks[None, None, :]
-        cum_prev = jnp.sum(cnt[:, :, None] * le, axis=1)
-        at_sel = jnp.logical_not(le) & ((cum - cnt)[:, :, None] <= ks)
-        any_hit = (cum[:, -1:] > ks) & cv.reshape(E)[:, None]
-        w = ks[None, :] - cum_prev
-        fo_sel = jnp.sum(first_older[:, :, None] * at_sel, axis=1)
-        scell = jnp.sum(
-            jnp.arange(self.NS, dtype=jnp.int32)[None, :, None] * at_sel,
-            axis=1)
-        code_sel = jnp.sum(
-            jnp.asarray(self.cell_code, jnp.int32)[None, :, None] * at_sel,
-            axis=1)
-        depth = jnp.clip(fo_sel + w, 0, Q - 1)
-        flat_pick = scell * Q + depth
-        src_vid = jnp.take_along_axis(
-            vid_g.reshape(E, self.NS * Q), flat_pick, axis=1)
-        src_vid = jnp.where(any_hit, src_vid, 0)
+            return state, None, None, None, None, cover, chk
         # feature-ring staleness certificate
         cover = cover & ~jnp.any(
             any_hit & (vid_f[:, None] - src_vid >= NR))
@@ -383,6 +416,152 @@ class MultiStreamServer:
         src_tab = (s_base + (src_vid % NR).reshape(S, C, K - 1)
                    ).reshape(E, K - 1)
         return state, src_tab, any_hit, code_sel, src_vid, cover, None
+
+    def _pick_neighbors(self, vid_g, t_g, t_f, vid_f, cv, row_major):
+        """First-(K-1) selection in (spiral cell, recency) priority from
+        per-cell FIFO rows — the builder's compare-and-reduce over
+        per-cell candidate counts, with value transport by one-hot
+        ``dot_general`` (~3 ns/pick measured, scripts/microbench4.py)
+        instead of minor-axis ``take_along_axis`` picks.
+
+        ``vid_g``/``t_g`` are [E, NS, Q] rows in spiral-cell order when
+        ``row_major`` is False, else in row-major slice order (the slab
+        gather's layout).  Returns ``(any_hit, code_sel, src_vid,
+        cover, bench_chk)``.
+        """
+        Q = self.Q
+        K = self.cfg.max_neighbors
+        E = vid_g.shape[0]
+        cvE = cv.reshape(E)
+        t_e = t_f[:, None, None]
+        vid_e = vid_f[:, None, None]
+        cand = (t_g >= t_e - self.delta_t) & (vid_g >= 0) & (vid_g < vid_e)
+        first_older = jnp.sum(vid_g >= vid_e, axis=-1)
+        cnt = jnp.sum(cand, axis=-1).astype(jnp.int32)
+        # coverage: if the DEEPEST kept entry is still inside the dt
+        # window, deeper (dropped) entries might have been too;
+        # sentinel rows (out-of-frame cells / empty pixels) can never
+        # fire this, so no in-bounds mask is needed
+        miss = (t_g[..., Q - 1] >= (t_f[:, None] - self.delta_t)) \
+            & cvE[:, None]
+        cover = ~jnp.any(miss)
+        if row_major:
+            sp = jnp.asarray(self.rm_of_spiral, jnp.int32)
+            cnt_sp = cnt[:, sp]
+            fo_sp = first_older[:, sp]
+        else:
+            cnt_sp, fo_sp = cnt, first_older
+        if self.bench_stage == "search":
+            return None, None, None, cover, (cnt_sp, fo_sp)
+
+        cum = jnp.cumsum(cnt_sp, axis=-1)
+        ks = jnp.arange(K - 1, dtype=jnp.int32)
+        le = cum[:, :, None] <= ks[None, None, :]
+        cum_prev = jnp.sum(cnt_sp[:, :, None] * le, axis=1)
+        at_sel = jnp.logical_not(le) & ((cum - cnt_sp)[:, :, None] <= ks)
+        any_hit = (cum[:, -1:] > ks) & cvE[:, None]
+        w = ks[None, :] - cum_prev
+        fo_sel = jnp.sum(fo_sp[:, :, None] * at_sel, axis=1)
+        code_sel = jnp.sum(
+            jnp.asarray(self.cell_code, jnp.int32)[None, :, None] * at_sel,
+            axis=1)
+        depth = jnp.clip(fo_sel + w, 0, Q - 1)
+        # value pick: transport a CLIPPED vid delta through f32 one-hot
+        # dots.  Exact: at_sel is one-hot over cells so each dot output
+        # sums a single term, and |delta| <= DV_CLIP = 2^20 is exactly
+        # representable; deltas that large are already flagged stale by
+        # the NR certificate (NR << 2^20), so the clip never changes a
+        # live selection
+        sel = at_sel
+        if row_major:
+            sel = at_sel[:, jnp.asarray(self.spiral_of_rm, jnp.int32), :]
+        dv = jnp.clip(vid_f[:, None, None] - vid_g, -DV_CLIP, DV_CLIP
+                      ).astype(jnp.float32)
+        rowdv = jax.lax.dot_general(
+            sel.astype(jnp.float32), dv,
+            dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)               # [E, K-1, Q]
+        oh = jnp.arange(Q, dtype=jnp.int32)[None, None, :] \
+            == depth[..., None]
+        dv_pick = jnp.sum(jnp.where(oh, rowdv, 0.0), axis=-1)
+        src_vid = vid_f[:, None] - dv_pick.astype(jnp.int32)
+        src_vid = jnp.where(any_hit, src_vid, 0)
+        return any_hit, code_sel, src_vid, cover, None
+
+    # ------------------------------------------------------------------
+    # search_mode == "slab": padded FIFO table + one slice gather/event
+    # ------------------------------------------------------------------
+    def _search_slab(self, state: ServeState, x, y, t, cv, vid_f):
+        """FIFO search re-laid-out for the backend's slice gather: the
+        queue table is padded to ``[S, H+2R, W+2R, 2Q]`` and ONE
+        ``lax.gather`` slice per event fetches its entire spiral
+        neighborhood (209 ns/event measured at full serving scale,
+        scripts/microbench4.py) — same CUDA FIFO semantics
+        (ev_graph.cu:15-128) as ``queue`` mode, same certificates."""
+        S, C, Q, NR = self.S, self.chunk, self.Q, self.NR
+        W, H = self.width, self.height
+        R = self.radius
+        Hp, Wp = H + 2 * R, W + 2 * R
+        E = S * C
+        NROW = S * Hp * Wp
+        t_f = t.reshape(E)
+        s_hp = (jnp.arange(S, dtype=jnp.int32) * (Hp * Wp))[:, None]
+
+        # FIFO insert (whole chunk first: insert-then-search,
+        # ev_graph.cu:130-166); one row-gather + one row-scatter per
+        # touched pixel, invalid/non-last rows dropped via OOB targets
+        spix = jnp.where(
+            cv, s_hp + (y + R) * Wp + (x + R), NROW).reshape(E)
+        idx_e = jnp.arange(E, dtype=jnp.int32)
+        sp_s, _, vid_s, t_s = jax.lax.sort(
+            (spix, idx_e, vid_f, t_f), num_keys=2)
+        first = jnp.concatenate(
+            [jnp.ones((1,), bool), sp_s[1:] != sp_s[:-1]])
+        is_last = jnp.concatenate(
+            [sp_s[1:] != sp_s[:-1], jnp.ones((1,), bool)])
+        run_start = jax.lax.associative_scan(
+            jnp.maximum, jnp.where(first, idx_e, 0))
+        ecnt = jnp.minimum(idx_e - run_start + 1, Q)
+        qs = jnp.arange(Q, dtype=jnp.int32)
+        take_new = qs[None, :] < ecnt[:, None]
+        src_i = jnp.clip(idx_e[:, None] - qs[None, :], 0, E - 1)
+        vt = jnp.stack([vid_s, t_s], axis=1)
+        got = jnp.take_along_axis(
+            vt, src_i.reshape(-1)[:, None], axis=0).reshape(E, Q, 2)
+        orow = jnp.take_along_axis(
+            state.queue, jnp.clip(sp_s, 0, NROW - 1)[:, None], axis=0)
+        old_v, old_t = self._fifo_shift(orow, ecnt, Q)
+        new_row = jnp.concatenate([
+            jnp.where(take_new, got[..., 0], old_v),
+            jnp.where(take_new, got[..., 1], old_t),
+        ], axis=1)
+        target = jnp.where(is_last, sp_s, NROW)
+        queue = state.queue.at[target].set(new_row, mode="drop")
+        state = state.replace(queue=queue)
+        if self.bench_stage == "insert":
+            # queue lives in the returned (donated) state, so the
+            # scatter above survives DCE without extra anchors
+            return state, None, None, None, None, jnp.ones((), bool), ()
+
+        # one (2R+1, 2R+1, 2Q) slice per event; pad rows make every
+        # out-of-frame cell a sentinel, and the slice always fits the
+        # padded extent, so no per-cell bounds logic survives here
+        ss = jnp.repeat(jnp.arange(S, dtype=jnp.int32), C)
+        ys = jnp.clip(y, 0, H - 1).reshape(E)
+        xs = jnp.clip(x, 0, W - 1).reshape(E)
+        starts = jnp.stack([ss, ys, xs, jnp.zeros_like(ss)], axis=1)
+        dn = jax.lax.GatherDimensionNumbers(
+            offset_dims=(1, 2, 3), collapsed_slice_dims=(0,),
+            start_index_map=(0, 1, 2, 3))
+        rows = jax.lax.gather(
+            queue.reshape(S, Hp, Wp, 2 * Q), starts, dn,
+            slice_sizes=(1, 2 * R + 1, 2 * R + 1, 2 * Q),
+            mode=jax.lax.GatherScatterMode.CLIP,
+        ).reshape(E, self.NS, 2 * Q)               # row-major cell order
+        if self.bench_stage == "gather":
+            return state, None, None, None, None, jnp.ones((), bool), (rows,)
+        return self._finish_queue_search(state, rows, t_f, vid_f, cv,
+                                         row_major=True)
 
     # ------------------------------------------------------------------
     def step(self, params, batch_stats, state: ServeState,
@@ -415,13 +594,14 @@ class MultiStreamServer:
             raw = jnp.zeros((S, 1, 5 + cfg.num_classes), jnp.float32) + chk
             return st, raw, {"coverage_ok": st.coverage_ok}
 
-        search = (self._search_sort if self.search_mode == "sort"
-                  else self._search_queue)
+        search = {"sort": self._search_sort,
+                  "queue": self._search_queue,
+                  "slab": self._search_slab}[self.search_mode]
         state, src_tab, any_hit, code_sel, src_vid, cover, chk = search(
             state, x, y, t, cv, vid_f)
         state = state.replace(
             num=n0 + C, coverage_ok=state.coverage_ok & cover)
-        if self.bench_stage == "search":
+        if self.bench_stage in ("insert", "gather", "search"):
             return bail(state, *chk)
         if self.bench_stage == "select":
             return bail(state, src_tab, any_hit, code_sel)

@@ -3,9 +3,10 @@ engine, streaming/serve.py).  Chains T lockstep steps inside one jit;
 reports aggregate Mevents/s and per-stream step cost so the S-scaling
 curve (S=8/16/32) can be recorded.
 
-Run: python scripts/bench_serve.py [S] [chunk] [T] [stage]
+Run: python scripts/bench_serve.py [S] [chunk] [T] [stage] [mode] [Q]
 stage in insert|search|select|conv|agg|full (default full) early-exits
-the step after that phase for per-stage cost attribution.
+the step after that phase for per-stage cost attribution; mode in
+sort|queue|slab (default sort); Q = queue depth for queue/slab.
 """
 import os
 import sys
@@ -29,6 +30,8 @@ def main():
     chunk = int(sys.argv[2]) if len(sys.argv) > 2 else 2048
     T = int(sys.argv[3]) if len(sys.argv) > 3 else 8
     stage = sys.argv[4] if len(sys.argv) > 4 else "full"
+    mode = sys.argv[5] if len(sys.argv) > 5 else "sort"
+    qdepth = int(sys.argv[6]) if len(sys.argv) > 6 else 16
     cfg = DagrConfig()
     H, W = 240, 320
     NV = 45_000
@@ -44,7 +47,8 @@ def main():
     feat = np.stack([np.asarray(e.feat[0])[:NV] for e in evs])
     chunks = chunk_streams(pos, feat, chunk)
 
-    srv = MultiStreamServer(cfg, H, W, n_streams=S, chunk=chunk)
+    srv = MultiStreamServer(cfg, H, W, n_streams=S, chunk=chunk,
+                            search_mode=mode, queue_depth=qdepth)
     srv.bench_stage = stage
     chain = srv.make_chain(variables["params"], variables["batch_stats"], T)
 
@@ -56,7 +60,7 @@ def main():
         _ = np.asarray(probe(jnp.float32(i)))
         ts.append(time.perf_counter() - t0)
     ovh = min(ts)
-    print(f"S={S} chunk={chunk} T={T} stage={stage} "
+    print(f"S={S} chunk={chunk} T={T} stage={stage} mode={mode} Q={qdepth} "
           f"overhead {ovh*1e3:.1f} ms", flush=True)
 
     def stacked(sel):

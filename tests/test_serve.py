@@ -30,7 +30,7 @@ def _streams(rng, n_streams):
     return evs, pos, feat
 
 
-@pytest.mark.parametrize("mode", ["sort", "queue"])
+@pytest.mark.parametrize("mode", ["sort", "queue", "slab"])
 def test_serve_edges_match_builder(mode):
     rng = np.random.default_rng(0)
     evs, pos, feat = _streams(rng, 2)
@@ -67,7 +67,7 @@ def test_serve_edges_match_builder(mode):
 
 
 @pytest.mark.parametrize("mode,cfg", [
-    ("sort", CFG), ("queue", CFG),
+    ("sort", CFG), ("queue", CFG), ("slab", CFG),
     # single-scale + temporal-ordering variant (the ncaltech-style
     # config exercises the outs[-1:] tail and the tmax edge filter)
     ("sort", CFG.replace(num_scales=1, keep_temporal_ordering=True)),
@@ -116,7 +116,8 @@ def test_serve_chain_matches_stepwise():
         np.asarray(raw_last), np.asarray(raw_ref), atol=1e-5)
 
 
-def test_coverage_flag_fires_on_queue_overflow():
+@pytest.mark.parametrize("mode", ["queue", "slab"])
+def test_coverage_flag_fires_on_queue_overflow(mode):
     """More same-pixel events inside the dt window than the queue depth
     must trip the exactness certificate (the only loss mode of the
     fixed-depth design)."""
@@ -133,7 +134,7 @@ def test_coverage_flag_fires_on_queue_overflow():
     variables = model.init(jax.random.key(0), ev, train=False)
 
     srv = MultiStreamServer(CFG, H, W, n_streams=1, chunk=20, queue_depth=4,
-                            search_mode="queue")
+                            search_mode=mode)
     step = srv.make_step(variables["params"], variables["batch_stats"])
     st = srv.init_state()
     for c in chunk_streams(pos, feat, 20):
