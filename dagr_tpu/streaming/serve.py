@@ -218,7 +218,10 @@ class MultiStreamServer:
         # query's dt window (per stream)
         t_old = jax.lax.dynamic_slice(state.t_ring, (0, r0), (S, C))
         min_t = jnp.min(jnp.where(cv, t, np.int32(2 ** 30)), axis=1)
-        cover = ~jnp.any(t_old >= (min_t - self.delta_t)[:, None])
+        # cover is a [2]-vector of named certificate parts (see step)
+        cover = jnp.stack([
+            ~jnp.any(t_old >= (min_t - self.delta_t)[:, None]),
+            jnp.ones((), bool)])
 
         # append the chunk to the ring columns
         pix_c = jnp.where(cv, s_off + y * W + x, DEAD)           # [S, C]
@@ -333,8 +336,13 @@ class MultiStreamServer:
         hi = jax.lax.shift_right_arithmetic(r, 16).astype(jnp.float32)
         lo = (r & 0xFFFF).astype(jnp.float32)
         parts = jnp.concatenate([hi, lo], axis=1)               # [E, 4, Q]
+        # Precision.HIGHEST is REQUIRED for exactness: the TPU default
+        # runs f32 dots as single-pass bf16 (8 mantissa bits), which
+        # rounds any 16-bit half >= 256 — the long-stream staleness
+        # certificate caught exactly this (diag_serve_cover.py)
         picked = jax.lax.dot_general(
             oh, parts, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+            precision=jax.lax.Precision.HIGHEST,
             preferred_element_type=jnp.float32)                 # [E, Q, 4]
         picked = picked.astype(jnp.int32)
         merged = (picked[..., :2] << 16) | picked[..., 2:]      # [E, Q, 2]
@@ -404,13 +412,15 @@ class MultiStreamServer:
         K = self.cfg.max_neighbors
         vid_g = rows[..., :Q]
         t_g = rows[..., Q:]
-        any_hit, code_sel, src_vid, cover, chk = self._pick_neighbors(
+        any_hit, code_sel, src_vid, cover_d, chk = self._pick_neighbors(
             vid_g, t_g, t_f, vid_f, cv, row_major=row_major)
         if self.bench_stage == "search":
-            return state, None, None, None, None, cover, chk
+            return state, None, None, None, None, jnp.stack(
+                [cover_d, jnp.ones((), bool)]), chk
         # feature-ring staleness certificate
-        cover = cover & ~jnp.any(
-            any_hit & (vid_f[:, None] - src_vid >= NR))
+        cover = jnp.stack([
+            cover_d,
+            ~jnp.any(any_hit & (vid_f[:, None] - src_vid >= NR))])
         # ring feature index from the vid
         s_base = (jnp.arange(S, dtype=jnp.int32) * NR)[:, None, None]
         src_tab = (s_base + (src_vid % NR).reshape(S, C, K - 1)
@@ -477,9 +487,12 @@ class MultiStreamServer:
             sel = at_sel[:, jnp.asarray(self.spiral_of_rm, jnp.int32), :]
         dv = jnp.clip(vid_f[:, None, None] - vid_g, -DV_CLIP, DV_CLIP
                       ).astype(jnp.float32)
+        # Precision.HIGHEST: the TPU default bf16 dot would round dv
+        # (values up to 2^20 with 8 mantissa bits) and corrupt src_vid
         rowdv = jax.lax.dot_general(
             sel.astype(jnp.float32), dv,
             dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+            precision=jax.lax.Precision.HIGHEST,
             preferred_element_type=jnp.float32)               # [E, K-1, Q]
         oh = jnp.arange(Q, dtype=jnp.int32)[None, None, :] \
             == depth[..., None]
@@ -541,7 +554,7 @@ class MultiStreamServer:
         if self.bench_stage == "insert":
             # queue lives in the returned (donated) state, so the
             # scatter above survives DCE without extra anchors
-            return state, None, None, None, None, jnp.ones((), bool), ()
+            return state, None, None, None, None, jnp.ones((2,), bool), ()
 
         # one (2R+1, 2R+1, 2Q) slice per event; pad rows make every
         # out-of-frame cell a sentinel, and the slice always fits the
@@ -559,7 +572,7 @@ class MultiStreamServer:
             mode=jax.lax.GatherScatterMode.CLIP,
         ).reshape(E, self.NS, 2 * Q)               # row-major cell order
         if self.bench_stage == "gather":
-            return state, None, None, None, None, jnp.ones((), bool), (rows,)
+            return state, None, None, None, None, jnp.ones((2,), bool), (rows,)
         return self._finish_queue_search(state, rows, t_f, vid_f, cv,
                                          row_major=True)
 
@@ -599,8 +612,10 @@ class MultiStreamServer:
                   "slab": self._search_slab}[self.search_mode]
         state, src_tab, any_hit, code_sel, src_vid, cover, chk = search(
             state, x, y, t, cv, vid_f)
+        # cover[0]: bounded-state cert (ring eviction / queue depth);
+        # cover[1]: feature-ring staleness cert (queue/slab modes)
         state = state.replace(
-            num=n0 + C, coverage_ok=state.coverage_ok & cover)
+            num=n0 + C, coverage_ok=state.coverage_ok & cover.all())
         if self.bench_stage in ("insert", "gather", "search"):
             return bail(state, *chk)
         if self.bench_stage == "select":
@@ -739,7 +754,8 @@ class MultiStreamServer:
             return bail(state)
 
         raw = self._dense_tail(params, batch_stats, state)
-        info: Dict[str, jnp.ndarray] = {"coverage_ok": state.coverage_ok}
+        info: Dict[str, jnp.ndarray] = {"coverage_ok": state.coverage_ok,
+                                        "cover_parts": cover}
         if debug:
             info["nbr_vid"] = jnp.concatenate(
                 [vid_f[:, None], src_vid], axis=1).reshape(S, C, K)
