@@ -336,13 +336,16 @@ class MultiStreamServer:
         hi = jax.lax.shift_right_arithmetic(r, 16).astype(jnp.float32)
         lo = (r & 0xFFFF).astype(jnp.float32)
         parts = jnp.concatenate([hi, lo], axis=1)               # [E, 4, Q]
-        # Precision.HIGHEST is REQUIRED for exactness: the TPU default
+        # Precision >= HIGH is REQUIRED for exactness: the TPU default
         # runs f32 dots as single-pass bf16 (8 mantissa bits), which
         # rounds any 16-bit half >= 256 — the long-stream staleness
-        # certificate caught exactly this (diag_serve_cover.py)
+        # certificate caught exactly this (diag_serve_cover.py).  HIGH
+        # (bf16x3, 24 mantissa bits) represents each f32 operand
+        # exactly for |x| < 2^24 and the one-hot contraction sums a
+        # single term, so the transport is exact at half HIGHEST's cost
         picked = jax.lax.dot_general(
             oh, parts, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
-            precision=jax.lax.Precision.HIGHEST,
+            precision=jax.lax.Precision.HIGH,
             preferred_element_type=jnp.float32)                 # [E, Q, 4]
         picked = picked.astype(jnp.int32)
         merged = (picked[..., :2] << 16) | picked[..., 2:]      # [E, Q, 2]
@@ -487,12 +490,13 @@ class MultiStreamServer:
             sel = at_sel[:, jnp.asarray(self.spiral_of_rm, jnp.int32), :]
         dv = jnp.clip(vid_f[:, None, None] - vid_g, -DV_CLIP, DV_CLIP
                       ).astype(jnp.float32)
-        # Precision.HIGHEST: the TPU default bf16 dot would round dv
-        # (values up to 2^20 with 8 mantissa bits) and corrupt src_vid
+        # Precision.HIGH (bf16x3 == exact f32 operands below 2^24): the
+        # TPU default single-pass bf16 dot would round dv (values up to
+        # 2^20 with 8 mantissa bits) and corrupt src_vid
         rowdv = jax.lax.dot_general(
             sel.astype(jnp.float32), dv,
             dimension_numbers=(((1,), (1,)), ((0,), (0,))),
-            precision=jax.lax.Precision.HIGHEST,
+            precision=jax.lax.Precision.HIGH,
             preferred_element_type=jnp.float32)               # [E, K-1, Q]
         oh = jnp.arange(Q, dtype=jnp.int32)[None, None, :] \
             == depth[..., None]
