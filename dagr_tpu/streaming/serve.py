@@ -470,34 +470,54 @@ class MultiStreamServer:
         cum = jnp.cumsum(cnt_sp, axis=-1)
         ks = jnp.arange(K - 1, dtype=jnp.int32)
         le = cum[:, :, None] <= ks[None, None, :]
-        cum_prev = jnp.sum(cnt_sp[:, :, None] * le, axis=1)
         at_sel = jnp.logical_not(le) & ((cum - cnt_sp)[:, :, None] <= ks)
         any_hit = (cum[:, -1:] > ks) & cvE[:, None]
-        w = ks[None, :] - cum_prev
-        fo_sel = jnp.sum(fo_sp[:, :, None] * at_sel, axis=1)
-        code_sel = jnp.sum(
-            jnp.asarray(self.cell_code, jnp.int32)[None, :, None] * at_sel,
-            axis=1)
-        depth = jnp.clip(fo_sel + w, 0, Q - 1)
-        # value pick: transport a CLIPPED vid delta through f32 one-hot
-        # dots.  Exact: at_sel is one-hot over cells so each dot output
-        # sums a single term, and |delta| <= DV_CLIP = 2^20 is exactly
-        # representable; deltas that large are already flagged stale by
-        # the NR certificate (NR << 2^20), so the clip never changes a
-        # live selection
+        # ALL per-selection values ride ONE one-hot dot_general: the
+        # dv rows plus (first_older, cell_code, cum_prev) — cum_prev
+        # (== sum of cnt over cells with cum <= k) is exactly
+        # (cum - cnt) AT the selected crossing cell, so it transports
+        # like any other per-cell value.  Exact: at_sel is one-hot over
+        # cells so each output sums a single term; Precision.HIGH
+        # (bf16x3 == exact f32 operands below 2^24) because the TPU
+        # default single-pass bf16 dot rounds values above 2^8; dv is
+        # clipped to DV_CLIP = 2^20 (stale long before that, NR <<
+        # 2^20), so the clip never changes a live selection.
         sel = at_sel
+        code_cells = self.cell_code
         if row_major:
             sel = at_sel[:, jnp.asarray(self.spiral_of_rm, jnp.int32), :]
+            code_cells = self.cell_code[self.spiral_of_rm]
+        # per-cell value columns in ROW order of vid_g (native layout)
+        cumcnt = cum - cnt_sp
+        if row_major:
+            # (cum - cnt) back to row-major so it concatenates with dv
+            inv = jnp.asarray(self.spiral_of_rm, jnp.int32)
+            cumcnt = cumcnt[:, inv]
+            fo_cols = first_older
+        else:
+            fo_cols = fo_sp
         dv = jnp.clip(vid_f[:, None, None] - vid_g, -DV_CLIP, DV_CLIP
                       ).astype(jnp.float32)
-        # Precision.HIGH (bf16x3 == exact f32 operands below 2^24): the
-        # TPU default single-pass bf16 dot would round dv (values up to
-        # 2^20 with 8 mantissa bits) and corrupt src_vid
-        rowdv = jax.lax.dot_general(
-            sel.astype(jnp.float32), dv,
+        NSc = dv.shape[1]
+        cols = jnp.concatenate([
+            dv,
+            fo_cols[..., None].astype(jnp.float32),
+            jnp.broadcast_to(
+                jnp.asarray(code_cells, jnp.float32)[None, :, None],
+                (E, NSc, 1)),
+            cumcnt[..., None].astype(jnp.float32),
+        ], axis=2)                                            # [E, NS, Q+3]
+        picked = jax.lax.dot_general(
+            sel.astype(jnp.float32), cols,
             dimension_numbers=(((1,), (1,)), ((0,), (0,))),
             precision=jax.lax.Precision.HIGH,
-            preferred_element_type=jnp.float32)               # [E, K-1, Q]
+            preferred_element_type=jnp.float32)             # [E, K-1, Q+3]
+        rowdv = picked[..., :Q]
+        fo_sel = picked[..., Q].astype(jnp.int32)
+        code_sel = picked[..., Q + 1].astype(jnp.int32)
+        cum_prev = picked[..., Q + 2].astype(jnp.int32)
+        w = ks[None, :] - cum_prev
+        depth = jnp.clip(fo_sel + w, 0, Q - 1)
         oh = jnp.arange(Q, dtype=jnp.int32)[None, None, :] \
             == depth[..., None]
         dv_pick = jnp.sum(jnp.where(oh, rowdv, 0.0), axis=-1)
