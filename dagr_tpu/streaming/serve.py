@@ -116,8 +116,15 @@ class MultiStreamServer:
 
     def __init__(self, cfg: DagrConfig, height: int, width: int,
                  n_streams: int, chunk: int, search_mode: str = "sort",
-                 queue_depth: int = 16, ring: Optional[int] = None):
+                 queue_depth: int = 16, ring: Optional[int] = None,
+                 tail_every: int = 1):
         assert search_mode in ("sort", "queue", "slab")
+        # detection cadence: the pooled pyramid + head (the per-step
+        # fixed cost) runs every Nth chunk; graph/conv/aggregate state
+        # stays exact every step, skipped steps return raw=0 with
+        # info["raw_fresh"]=False.  N=1 == the sync-equivalent default.
+        assert tail_every >= 1
+        self.tail_every = tail_every
         self.cfg = cfg
         self.height, self.width = height, width
         self.S = n_streams
@@ -777,14 +784,35 @@ class MultiStreamServer:
         if self.bench_stage == "agg":
             return bail(state)
 
-        raw = self._dense_tail(params, batch_stats, state)
+        if self.tail_every == 1:
+            raw = self._dense_tail(params, batch_stats, state)
+            fresh = jnp.ones((), bool)
+        else:
+            # run the head on the LAST step of every tail_every group
+            # (state is complete up to and including this chunk)
+            fresh = ((n0 // C) % self.tail_every) == (self.tail_every - 1)
+            raw = jax.lax.cond(
+                fresh,
+                lambda s: self._dense_tail(params, batch_stats, s),
+                lambda s: jnp.zeros(
+                    (S, self._n_anchors(), 5 + cfg.num_classes),
+                    jnp.float32),
+                state)
         info: Dict[str, jnp.ndarray] = {"coverage_ok": state.coverage_ok,
-                                        "cover_parts": cover}
+                                        "cover_parts": cover,
+                                        "raw_fresh": fresh}
         if debug:
             info["nbr_vid"] = jnp.concatenate(
                 [vid_f[:, None], src_vid], axis=1).reshape(S, C, K)
             info["nbr_mask"] = nbr_mask.reshape(S, C, K)
         return state, raw, info
+
+    # ------------------------------------------------------------------
+    def _n_anchors(self) -> int:
+        """Rows of the raw head output per stream (head scales are the
+        last ``num_scales`` pyramid grids — see _dense_tail)."""
+        gs = [self.grids[2], self.grids[3]][-self.cfg.num_scales:]
+        return sum(ny * nx for ny, nx in gs)
 
     # ------------------------------------------------------------------
     def _level1_nodeset(self, state: ServeState) -> NodeSet:
@@ -840,6 +868,9 @@ class MultiStreamServer:
             return ns.replace(feat=jnp.concatenate([ns.feat, rel], axis=-1))
 
         ns = self._level1_nodeset(state)
+        if self.bench_stage == "tail1":
+            return jnp.zeros((self.S, 1, 5 + cfg.num_classes),
+                             jnp.float32) + jnp.sum(ns.feat)
         outs = []
         for li, name in enumerate(["layer2", "layer3", "layer4", "layer5"]):
             ns = with_rel(ns)
@@ -854,6 +885,10 @@ class MultiStreamServer:
                     aggr="mean" if li == 2 else cfg.pooling_aggr,
                     keep_temporal_ordering=cfg.keep_temporal_ordering,
                 )
+            # bench sub-stages: exit after layer li+2 (+ its pool)
+            if self.bench_stage == f"tail{li + 2}":
+                return jnp.zeros((self.S, 1, 5 + cfg.num_classes),
+                                 jnp.float32) + jnp.sum(ns.feat)
         outs.append(ns)
         outs = outs[-cfg.num_scales:]
 

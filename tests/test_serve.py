@@ -94,6 +94,34 @@ def test_serve_matches_sync_forward(mode, cfg):
         np.testing.assert_allclose(raw[s], ref, atol=1e-4)
 
 
+def test_tail_every_cadence_matches_default():
+    """tail_every=2 must produce raw == the cadence-1 server on fresh
+    steps (state stays exact every step) and zeros + raw_fresh=False on
+    skipped steps."""
+    rng = np.random.default_rng(5)
+    evs, pos, feat = _streams(rng, 2)
+    model = DAGR(CFG, height=H, width=W)
+    variables = model.init(jax.random.key(0), evs[0], train=False)
+
+    srv1 = MultiStreamServer(CFG, H, W, n_streams=2, chunk=32,
+                             search_mode="slab")
+    srv2 = MultiStreamServer(CFG, H, W, n_streams=2, chunk=32,
+                             search_mode="slab", tail_every=2)
+    s1 = srv1.make_step(variables["params"], variables["batch_stats"])
+    s2 = srv2.make_step(variables["params"], variables["batch_stats"])
+    st1, st2 = srv1.init_state(), srv2.init_state()
+    for i, c in enumerate(chunk_streams(pos, feat, 32)):
+        st1, raw1, _ = s1(st1, *c)
+        st2, raw2, info2 = s2(st2, *c)
+        fresh = bool(info2["raw_fresh"])
+        assert fresh == (i % 2 == 1)
+        if fresh:
+            np.testing.assert_allclose(
+                np.asarray(raw2), np.asarray(raw1), atol=1e-6)
+        else:
+            assert not np.asarray(raw2).any()
+
+
 def test_serve_chain_matches_stepwise():
     rng = np.random.default_rng(2)
     evs, pos, feat = _streams(rng, 2)
