@@ -125,6 +125,9 @@ class MultiStreamServer:
         # info["raw_fresh"]=False.  N=1 == the sync-equivalent default.
         assert tail_every >= 1
         self.tail_every = tail_every
+        # slab mode: gather per-stream slabs (True) vs one 4D gather
+        # over the folded table (False); a bench-measured layout choice
+        self.split_gather = False
         self.cfg = cfg
         self.height, self.width = height, width
         self.S = n_streams
@@ -590,18 +593,39 @@ class MultiStreamServer:
         # one (2R+1, 2R+1, 2Q) slice per event; pad rows make every
         # out-of-frame cell a sentinel, and the slice always fits the
         # padded extent, so no per-cell bounds logic survives here
-        ss = jnp.repeat(jnp.arange(S, dtype=jnp.int32), C)
         ys = jnp.clip(y, 0, H - 1).reshape(E)
         xs = jnp.clip(x, 0, W - 1).reshape(E)
-        starts = jnp.stack([ss, ys, xs, jnp.zeros_like(ss)], axis=1)
-        dn = jax.lax.GatherDimensionNumbers(
-            offset_dims=(1, 2, 3), collapsed_slice_dims=(0,),
-            start_index_map=(0, 1, 2, 3))
-        rows = jax.lax.gather(
-            queue.reshape(S, Hp, Wp, 2 * Q), starts, dn,
-            slice_sizes=(1, 2 * R + 1, 2 * R + 1, 2 * Q),
-            mode=jax.lax.GatherScatterMode.CLIP,
-        ).reshape(E, self.NS, 2 * Q)               # row-major cell order
+        if self.split_gather:
+            # per-stream slabs behind optimization_barrier: each
+            # ~10 MB table stays under the backend's gather knee
+            # (scripts/microbench3.py: 3.4 vs 37 ns/idx) — events are
+            # stream-major so per-stream slices concatenate in order
+            q4 = queue.reshape(S, Hp, Wp, 2 * Q)
+            dn3 = jax.lax.GatherDimensionNumbers(
+                offset_dims=(1, 2, 3), collapsed_slice_dims=(),
+                start_index_map=(0, 1, 2))
+            outs = []
+            for s in range(S):
+                slab = jax.lax.optimization_barrier(q4[s])
+                st3 = jnp.stack([
+                    ys[s * C:(s + 1) * C], xs[s * C:(s + 1) * C],
+                    jnp.zeros((C,), jnp.int32)], axis=1)
+                outs.append(jax.lax.gather(
+                    slab, st3, dn3,
+                    slice_sizes=(2 * R + 1, 2 * R + 1, 2 * Q),
+                    mode=jax.lax.GatherScatterMode.CLIP))
+            rows = jnp.concatenate(outs).reshape(E, self.NS, 2 * Q)
+        else:
+            ss = jnp.repeat(jnp.arange(S, dtype=jnp.int32), C)
+            starts = jnp.stack([ss, ys, xs, jnp.zeros_like(ss)], axis=1)
+            dn = jax.lax.GatherDimensionNumbers(
+                offset_dims=(1, 2, 3), collapsed_slice_dims=(0,),
+                start_index_map=(0, 1, 2, 3))
+            rows = jax.lax.gather(
+                queue.reshape(S, Hp, Wp, 2 * Q), starts, dn,
+                slice_sizes=(1, 2 * R + 1, 2 * R + 1, 2 * Q),
+                mode=jax.lax.GatherScatterMode.CLIP,
+            ).reshape(E, self.NS, 2 * Q)           # row-major cell order
         if self.bench_stage == "gather":
             return state, None, None, None, None, jnp.ones((2,), bool), (rows,)
         return self._finish_queue_search(state, rows, t_f, vid_f, cv,

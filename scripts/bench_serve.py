@@ -67,7 +67,10 @@ def main():
     chunks = chunk_streams(pos, feat, chunk)
 
     srv = MultiStreamServer(cfg, H, W, n_streams=S, chunk=chunk,
-                            search_mode=mode, queue_depth=qdepth)
+                            search_mode=mode.split("-")[0],
+                            queue_depth=qdepth)
+    if mode.endswith("-split"):
+        srv.split_gather = True
 
     probe = jax.jit(lambda x: x + 1)
     _ = np.asarray(probe(jnp.zeros((), jnp.float32)))

@@ -30,7 +30,7 @@ def _streams(rng, n_streams):
     return evs, pos, feat
 
 
-@pytest.mark.parametrize("mode", ["sort", "queue", "slab"])
+@pytest.mark.parametrize("mode", ["sort", "queue", "slab", "slab-split"])
 def test_serve_edges_match_builder(mode):
     rng = np.random.default_rng(0)
     evs, pos, feat = _streams(rng, 2)
@@ -38,7 +38,9 @@ def test_serve_edges_match_builder(mode):
     variables = model.init(jax.random.key(0), evs[0], train=False)
 
     srv = MultiStreamServer(CFG, H, W, n_streams=2, chunk=32,
-                            search_mode=mode)
+                            search_mode=mode.split("-")[0])
+    if mode.endswith("-split"):
+        srv.split_gather = True
     step = srv.make_step(variables["params"], variables["batch_stats"],
                          debug=True)
     st = srv.init_state()
