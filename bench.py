@@ -167,12 +167,16 @@ def main():
         force = jax.jit(lambda a: sum(x.sum().astype(jnp.float32) for x in a))
         for gg in groups:
             _ = np.asarray(force(gg))
+        # re-probe the tunnel overhead: it drifts upward with session
+        # age, and a stale (smaller) value inflates every latency below
+        sec_ovh = _overhead(jax, jnp)
+        out["overhead_ms"] = round(sec_ovh * 1e3, 1)
         lat = []
         for rep in range(N_REPS):
             t0 = time.perf_counter()
             st, raws = chain_j(st, *groups[rep])
             _ = np.asarray(raws)
-            lat.append((time.perf_counter() - t0 - ovh) / 8)
+            lat.append((time.perf_counter() - t0 - sec_ovh) / 8)
             _record(out, lat)
 
     def measure_ring_p50(out):
@@ -199,12 +203,14 @@ def main():
         force = jax.jit(lambda a: sum(x.sum().astype(jnp.float32) for x in a))
         for gg in groups:
             _ = np.asarray(force(gg))
+        sec_ovh = _overhead(jax, jnp)
+        out["overhead_ms"] = round(sec_ovh * 1e3, 1)
         lat = []
         for rep in range(N_REPS):
             t0 = time.perf_counter()
             st, raws = chain_j(st, *groups[rep])
             _ = np.asarray(raws)
-            lat.append((time.perf_counter() - t0 - ovh) / 8)
+            lat.append((time.perf_counter() - t0 - sec_ovh) / 8)
             _record(out, lat)
 
     p50 = run_section(1200, measure_p50)
@@ -235,9 +241,12 @@ def main():
         posS = np.concatenate(pw, axis=1)
         featS = np.concatenate(fw, axis=1)
 
-        def run_cfg(S, mchunk, T_steps, reps=4, mode="sort"):
+        def run_cfg(S, mchunk, T_steps, reps=4, mode="sort", Q=16,
+                    tail_every=1, split=False):
             srv = MultiStreamServer(cfg, H, W, n_streams=S, chunk=mchunk,
-                                    search_mode=mode)
+                                    search_mode=mode, queue_depth=Q,
+                                    tail_every=tail_every)
+            srv.split_gather = split
             chain = srv.make_chain(
                 variables["params"], variables["batch_stats"], T_steps)
             chunks = chunk_streams(posS[:S], featS[:S], mchunk)
@@ -262,12 +271,13 @@ def main():
             st = srv.init_state()
             st, raw, cover = chain(st, *groups[0])
             _ = np.asarray(raw)
+            sec_ovh = _overhead(jax, jnp)
             lats = []
             for rep in range(reps):
                 t0 = time.perf_counter()
                 st, raw, cover = chain(st, *groups[rep + 1])
                 _ = np.asarray(raw)
-                lats.append((time.perf_counter() - t0 - ovh) / T_steps)
+                lats.append((time.perf_counter() - t0 - sec_ovh) / T_steps)
             lats.sort()
             step_ms = lats[len(lats) // 2]
             assert bool(cover), "serving coverage certificate failed"
@@ -307,11 +317,13 @@ def main():
 
         fB = jax.jit(runB)
         _ = np.asarray(fB(varB, stackB, jnp.float32(0))[0])
+        sec_ovh = _overhead(jax, jnp)
+        out["overhead_ms"] = round(sec_ovh * 1e3, 1)
         best = None
         for i in range(3):
             t0 = time.perf_counter()
             _ = np.asarray(fB(varB, stackB, jnp.float32(i + 3))[0])
-            el = (time.perf_counter() - t0 - ovh) / 2
+            el = (time.perf_counter() - t0 - sec_ovh) / 2
             best = el if best is None else min(best, el)
             out["ms_per_window"] = round(best / Bw * 1e3, 2)
             out["mevents_s"] = round(Bw * NV / best / 1e6, 3)

@@ -128,6 +128,11 @@ class MultiStreamServer:
         # slab mode: gather per-stream slabs (True) vs one 4D gather
         # over the folded table (False); a bench-measured layout choice
         self.split_gather = False
+        # event-conv source gather: per-stream slabs (True) keep each
+        # feature-ring table under the backend's ~10 MB gather knee
+        # (scripts/microbench3.py); neighbor indices never cross
+        # streams, so the split is exact
+        self.split_conv_gather = False
         self.cfg = cfg
         self.height, self.width = height, width
         self.S = n_streams
@@ -709,9 +714,23 @@ class MultiStreamServer:
         s1 = sb["conv_block1"]
 
         def conv(table_flat, w_tap, w_root, x_dst):
-            x_src = jnp.take_along_axis(
-                table_flat, ring_idx[:, None], axis=0
-            ).reshape(E, K, -1)
+            if self.split_conv_gather:
+                # per-stream slab gathers: table [S*NR, F] -> S slabs of
+                # [NR, F] behind optimization_barrier, each under the
+                # gather knee; events are stream-major and neighbors
+                # never cross streams, so local indices partition evenly
+                tab3 = table_flat.reshape(S, NR, -1)
+                loc = (ring_idx % NR).reshape(S, C * K)
+                outs = []
+                for s in range(S):
+                    slab = jax.lax.optimization_barrier(tab3[s])
+                    outs.append(jnp.take_along_axis(
+                        slab, loc[s][:, None], axis=0))
+                x_src = jnp.concatenate(outs).reshape(E, K, -1)
+            else:
+                x_src = jnp.take_along_axis(
+                    table_flat, ring_idx[:, None], axis=0
+                ).reshape(E, K, -1)
             b_m = basis * nbr_mask[..., None]
             # batched dot on the MXU (2x the fused multiply+sum here)
             g = jax.lax.dot_general(

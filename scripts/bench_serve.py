@@ -3,10 +3,12 @@ engine, streaming/serve.py).  Chains T lockstep steps inside one jit;
 reports aggregate Mevents/s and per-stream step cost so the S-scaling
 curve (S=8/16/32) can be recorded.
 
-Run: python scripts/bench_serve.py [S] [chunk] [T] [stage] [mode] [Q]
+Run: python scripts/bench_serve.py [S] [chunk] [T] [stage] [mode] [Q] [TE]
 stage in insert|search|select|conv|agg|full (default full) early-exits
 the step after that phase for per-stage cost attribution; mode in
-sort|queue|slab (default sort); Q = queue depth for queue/slab.
+sort|queue|slab (default sort; "-split" suffix = per-stream slab
+gathers); Q = queue depth for queue/slab; TE = tail_every detection
+cadence (the pooled pyramid + head run every TE-th chunk).
 """
 import os
 import sys
@@ -32,6 +34,7 @@ def main():
     stage = sys.argv[4] if len(sys.argv) > 4 else "full"
     mode = sys.argv[5] if len(sys.argv) > 5 else "sort"
     qdepth = int(sys.argv[6]) if len(sys.argv) > 6 else 16
+    tail_every = int(sys.argv[7]) if len(sys.argv) > 7 else 1
     cfg = DagrConfig()
     H, W = 240, 320
     NV = 45_000
@@ -68,9 +71,11 @@ def main():
 
     srv = MultiStreamServer(cfg, H, W, n_streams=S, chunk=chunk,
                             search_mode=mode.split("-")[0],
-                            queue_depth=qdepth)
-    if mode.endswith("-split"):
+                            queue_depth=qdepth, tail_every=tail_every)
+    if "-split" in mode:
         srv.split_gather = True
+    if "-csplit" in mode:
+        srv.split_conv_gather = True
 
     probe = jax.jit(lambda x: x + 1)
     _ = np.asarray(probe(jnp.zeros((), jnp.float32)))
@@ -81,7 +86,7 @@ def main():
         ts.append(time.perf_counter() - t0)
     ovh = min(ts)
     print(f"S={S} chunk={chunk} T={T} mode={mode} Q={qdepth} "
-          f"overhead {ovh*1e3:.1f} ms", flush=True)
+          f"TE={tail_every} overhead {ovh*1e3:.1f} ms", flush=True)
 
     # Pre-stage EVERY rep's inputs on the device before timing: a
     # host->device put inside the timed region costs a full ~30 ms

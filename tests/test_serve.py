@@ -70,6 +70,9 @@ def test_serve_edges_match_builder(mode):
 
 @pytest.mark.parametrize("mode,cfg", [
     ("sort", CFG), ("queue", CFG), ("slab", CFG),
+    # per-stream split gathers (slab table + conv feature ring): a
+    # bench-measured layout choice that must stay bit-equal
+    ("slab-split-csplit", CFG),
     # single-scale + temporal-ordering variant (the ncaltech-style
     # config exercises the outs[-1:] tail and the tmax edge filter)
     ("sort", CFG.replace(num_scales=1, keep_temporal_ordering=True)),
@@ -81,7 +84,11 @@ def test_serve_matches_sync_forward(mode, cfg):
     variables = model.init(jax.random.key(0), evs[0], train=False)
 
     srv = MultiStreamServer(cfg, H, W, n_streams=3, chunk=32,
-                            search_mode=mode)
+                            search_mode=mode.split("-")[0])
+    if "-split" in mode:
+        srv.split_gather = True
+    if "-csplit" in mode:
+        srv.split_conv_gather = True
     step = srv.make_step(variables["params"], variables["batch_stats"])
     st = srv.init_state()
     for c in chunk_streams(pos, feat, 32):
