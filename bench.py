@@ -243,10 +243,14 @@ def main():
 
         def run_cfg(S, mchunk, T_steps, reps=4, mode="sort", Q=16,
                     tail_every=1, split=False):
-            srv = MultiStreamServer(cfg, H, W, n_streams=S, chunk=mchunk,
-                                    search_mode=mode, queue_depth=Q,
-                                    tail_every=tail_every)
+            # mode "slabv" = slab search with vid-only FIFO payload
+            srv = MultiStreamServer(
+                cfg, H, W, n_streams=S, chunk=mchunk,
+                search_mode="slab" if mode == "slabv" else mode,
+                queue_depth=Q, tail_every=tail_every,
+                queue_payload="v" if mode == "slabv" else "vt")
             srv.split_gather = split
+            srv.split_conv_gather = split
             chain = srv.make_chain(
                 variables["params"], variables["batch_stats"], T_steps)
             chunks = chunk_streams(posS[:S], featS[:S], mchunk)

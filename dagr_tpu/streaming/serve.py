@@ -117,8 +117,21 @@ class MultiStreamServer:
     def __init__(self, cfg: DagrConfig, height: int, width: int,
                  n_streams: int, chunk: int, search_mode: str = "sort",
                  queue_depth: int = 16, ring: Optional[int] = None,
-                 tail_every: int = 1):
+                 tail_every: int = 1, queue_payload: str = "vt"):
         assert search_mode in ("sort", "queue", "slab")
+        # "vt": FIFO slots carry (vid, t) pairs.  "v" (slab only): slots
+        # carry vid alone — HALF the table, slice-gather and shift
+        # traffic.  Exact because per-stream time is monotone in vid, so
+        # the dt candidacy test  t_g >= t_e - delta_t  is EQUIVALENT to
+        # vid_g >= vmin_e  with  vmin_e = #events of the stream with
+        # t < t_e - delta_t — computed per chunk by one small merge
+        # join against the t-ring (S*(NR+C) records vs the 81-fanout
+        # search sort).  Events evicted from the t-ring are certified
+        # older than every live threshold (cover[0], same condition as
+        # sort mode), so the ring count reconstructs the global count.
+        assert queue_payload in ("vt", "v")
+        assert queue_payload == "vt" or search_mode == "slab"
+        self.queue_payload = queue_payload
         # detection cadence: the pooled pyramid + head (the per-step
         # fixed cost) runs every Nth chunk; graph/conv/aggregate state
         # stays exact every step, skipped steps return raw=0 with
@@ -185,11 +198,17 @@ class MultiStreamServer:
             # forever, so out-of-frame spiral cells auto-fail candidacy
             R = self.radius
             nrow = S * (self.height + 2 * R) * (self.width + 2 * R)
-            queue = jnp.concatenate([
-                jnp.full((nrow, Q), -1, jnp.int32),
-                jnp.full((nrow, Q), T_EMPTY, jnp.int32),
-            ], axis=1)
-            rings = dict(pix_ring=None, t_ring=None, vid_ring=None,
+            if self.queue_payload == "v":
+                # vid-only slots; the dt test rides the t-ring instead
+                queue = jnp.full((nrow, Q), -1, jnp.int32)
+                t_ring = jnp.full((S, NR), T_EMPTY, jnp.int32)
+            else:
+                queue = jnp.concatenate([
+                    jnp.full((nrow, Q), -1, jnp.int32),
+                    jnp.full((nrow, Q), T_EMPTY, jnp.int32),
+                ], axis=1)
+                t_ring = None
+            rings = dict(pix_ring=None, t_ring=t_ring, vid_ring=None,
                          queue=queue)
         else:
             rings = dict(
@@ -334,7 +353,8 @@ class MultiStreamServer:
     @staticmethod
     def _fifo_shift(orow, ecnt, Q):
         """Shift a gathered FIFO row down by ``ecnt`` slots (the CUDA
-        queue push, ev_graph.cu:130-166) and return ``(old_v, old_t)``.
+        queue push, ev_graph.cu:130-166) and return the shifted
+        payload columns ``[E, Q, NP]`` (NP = payloads per slot).
 
         Minor-axis ``take_along_axis`` at this shape measures 503
         ns/event on this backend vs 13 ns/event for a one-hot
@@ -344,13 +364,14 @@ class MultiStreamServer:
         one-hot contraction sums a single term), so the transport is
         exact over the FULL int32 range incl. sentinels."""
         E = orow.shape[0]
+        NP = orow.shape[1] // Q
         qs = jnp.arange(Q, dtype=jnp.int32)
         oshift = jnp.clip(qs[None, :] - ecnt[:, None], 0, Q - 1)
         oh = (oshift[:, :, None] == qs[None, None, :]).astype(jnp.float32)
-        r = orow.reshape(E, 2, Q)
+        r = orow.reshape(E, NP, Q)
         hi = jax.lax.shift_right_arithmetic(r, 16).astype(jnp.float32)
         lo = (r & 0xFFFF).astype(jnp.float32)
-        parts = jnp.concatenate([hi, lo], axis=1)               # [E, 4, Q]
+        parts = jnp.concatenate([hi, lo], axis=1)            # [E, 2*NP, Q]
         # Precision >= HIGH is REQUIRED for exactness: the TPU default
         # runs f32 dots as single-pass bf16 (8 mantissa bits), which
         # rounds any 16-bit half >= 256 — the long-stream staleness
@@ -361,10 +382,9 @@ class MultiStreamServer:
         picked = jax.lax.dot_general(
             oh, parts, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
             precision=jax.lax.Precision.HIGH,
-            preferred_element_type=jnp.float32)                 # [E, Q, 4]
+            preferred_element_type=jnp.float32)              # [E, Q, 2*NP]
         picked = picked.astype(jnp.int32)
-        merged = (picked[..., :2] << 16) | picked[..., 2:]      # [E, Q, 2]
-        return merged[..., 0], merged[..., 1]
+        return (picked[..., :NP] << 16) | picked[..., NP:]   # [E, Q, NP]
 
     # ------------------------------------------------------------------
     # search_mode == "queue": per-pixel FIFO rows + wide row-gathers
@@ -400,10 +420,10 @@ class MultiStreamServer:
         got = jnp.take_along_axis(
             vt, src_i.reshape(-1)[:, None], axis=0).reshape(E, Q, 2)
         orow = jnp.take_along_axis(state.queue, sp_s[:, None], axis=0)
-        old_v, old_t = self._fifo_shift(orow, ecnt, Q)
+        old = self._fifo_shift(orow, ecnt, Q)
         new_row = jnp.concatenate([
-            jnp.where(take_new, got[..., 0], old_v),
-            jnp.where(take_new, got[..., 1], old_t),
+            jnp.where(take_new, got[..., 0], old[..., 0]),
+            jnp.where(take_new, got[..., 1], old[..., 1]),
         ], axis=1)
         target = jnp.where(is_last, sp_s, DEAD_W)
         queue = state.queue.at[target].set(new_row)
@@ -422,16 +442,19 @@ class MultiStreamServer:
         return self._finish_queue_search(state, rows, t_f, vid_f, cv,
                                          row_major=False)
 
-    def _finish_queue_search(self, state, rows, t_f, vid_f, cv, row_major):
+    def _finish_queue_search(self, state, rows, t_f, vid_f, cv, row_major,
+                             vmin=None, evict_ok=None):
         """Shared tail of the FIFO-row searches: selection + the
         staleness certificate + the vid -> feature-ring-slot map."""
         S, C, Q, NR = self.S, self.chunk, self.Q, self.NR
         E = S * C
         K = self.cfg.max_neighbors
         vid_g = rows[..., :Q]
-        t_g = rows[..., Q:]
+        t_g = rows[..., Q:] if rows.shape[-1] == 2 * Q else None
         any_hit, code_sel, src_vid, cover_d, chk = self._pick_neighbors(
-            vid_g, t_g, t_f, vid_f, cv, row_major=row_major)
+            vid_g, t_g, t_f, vid_f, cv, row_major=row_major, vmin=vmin)
+        if evict_ok is not None:
+            cover_d = cover_d & evict_ok          # t-ring eviction cert
         if self.bench_stage == "search":
             return state, None, None, None, None, jnp.stack(
                 [cover_d, jnp.ones((), bool)]), chk
@@ -445,7 +468,8 @@ class MultiStreamServer:
                    ).reshape(E, K - 1)
         return state, src_tab, any_hit, code_sel, src_vid, cover, None
 
-    def _pick_neighbors(self, vid_g, t_g, t_f, vid_f, cv, row_major):
+    def _pick_neighbors(self, vid_g, t_g, t_f, vid_f, cv, row_major,
+                        vmin=None):
         """First-(K-1) selection in (spiral cell, recency) priority from
         per-cell FIFO rows — the builder's compare-and-reduce over
         per-cell candidate counts, with value transport by one-hot
@@ -454,24 +478,32 @@ class MultiStreamServer:
 
         ``vid_g``/``t_g`` are [E, NS, Q] rows in spiral-cell order when
         ``row_major`` is False, else in row-major slice order (the slab
-        gather's layout).  Returns ``(any_hit, code_sel, src_vid,
-        cover, bench_chk)``.
+        gather's layout).  With ``vmin`` (vid-only payload) the dt test
+        is the equivalent vid threshold and ``t_g`` is unused (None).
+        Returns ``(any_hit, code_sel, src_vid, cover, bench_chk)``.
         """
         Q = self.Q
         K = self.cfg.max_neighbors
         E = vid_g.shape[0]
         cvE = cv.reshape(E)
-        t_e = t_f[:, None, None]
         vid_e = vid_f[:, None, None]
-        cand = (t_g >= t_e - self.delta_t) & (vid_g >= 0) & (vid_g < vid_e)
+        if vmin is None:
+            t_e = t_f[:, None, None]
+            in_dt = t_g >= t_e - self.delta_t
+            deep_in_dt = t_g[..., Q - 1] >= (t_f[:, None] - self.delta_t)
+        else:
+            # per-stream t monotone in vid: t >= t_e - delta_t == vid
+            # >= vmin_e; sentinel slots (vid -1) fail via vid_g >= 0
+            in_dt = vid_g >= vmin[:, None, None]
+            deep_in_dt = vid_g[..., Q - 1] >= vmin[:, None]
+        cand = in_dt & (vid_g >= 0) & (vid_g < vid_e)
         first_older = jnp.sum(vid_g >= vid_e, axis=-1)
         cnt = jnp.sum(cand, axis=-1).astype(jnp.int32)
         # coverage: if the DEEPEST kept entry is still inside the dt
         # window, deeper (dropped) entries might have been too;
         # sentinel rows (out-of-frame cells / empty pixels) can never
         # fire this, so no in-bounds mask is needed
-        miss = (t_g[..., Q - 1] >= (t_f[:, None] - self.delta_t)) \
-            & cvE[:, None]
+        miss = deep_in_dt & cvE[:, None]
         cover = ~jnp.any(miss)
         if row_major:
             sp = jnp.asarray(self.rm_of_spiral, jnp.int32)
@@ -577,35 +609,100 @@ class MultiStreamServer:
         qs = jnp.arange(Q, dtype=jnp.int32)
         take_new = qs[None, :] < ecnt[:, None]
         src_i = jnp.clip(idx_e[:, None] - qs[None, :], 0, E - 1)
-        vt = jnp.stack([vid_s, t_s], axis=1)
+        vid_only = self.queue_payload == "v"
+        vt = (vid_s[:, None] if vid_only
+              else jnp.stack([vid_s, t_s], axis=1))
+        NP = vt.shape[1]
         got = jnp.take_along_axis(
-            vt, src_i.reshape(-1)[:, None], axis=0).reshape(E, Q, 2)
+            vt, src_i.reshape(-1)[:, None], axis=0).reshape(E, Q, NP)
         orow = jnp.take_along_axis(
             state.queue, jnp.clip(sp_s, 0, NROW - 1)[:, None], axis=0)
-        old_v, old_t = self._fifo_shift(orow, ecnt, Q)
-        new_row = jnp.concatenate([
-            jnp.where(take_new, got[..., 0], old_v),
-            jnp.where(take_new, got[..., 1], old_t),
-        ], axis=1)
+        old = self._fifo_shift(orow, ecnt, Q)
+        new_row = jnp.concatenate(
+            [jnp.where(take_new, got[..., j], old[..., j])
+             for j in range(NP)], axis=1)
         target = jnp.where(is_last, sp_s, NROW)
         queue = state.queue.at[target].set(new_row, mode="drop")
         state = state.replace(queue=queue)
+
+        vmin = None
+        if vid_only:
+            # dt candidacy as a vid threshold: vmin_e = #events of the
+            # stream with t < t_e - delta_t.  The t-ring holds the last
+            # NR times; evicted events are certified older than every
+            # live threshold (cover below), so the reconstruction
+            # (n_total - NR) + #ring slots with t < thr  is exact —
+            # unfilled sentinel slots (T_EMPTY) count as old and cancel
+            # the negative base when n_total < NR.
+            n0 = state.num
+            r0 = n0 % NR
+            thr = t_f - self.delta_t                             # [E]
+            # eviction certificate BEFORE overwriting the ring slots
+            # (a slot that carries a forward-filled padding time is a
+            # copy of a real event's time, so a fire on it is merely
+            # conservative — it implies the same fire condition as its
+            # real neighbor under ring pressure)
+            t_old = jax.lax.dynamic_slice(state.t_ring, (0, r0), (S, C))
+            min_t = jnp.min(jnp.where(cv, t, np.int32(2 ** 30)), axis=1)
+            cover_evict = ~jnp.any(
+                t_old >= (min_t - self.delta_t)[:, None])
+            # INVALID (padding) entries forward-fill the last real time
+            # (per-stream cummax, seeded from the previous ring slot):
+            # the ring then stays NON-DECREASING in vid order, which is
+            # exactly what makes {t < thr} a vid prefix — a constant
+            # pad sentinel (old or fresh) breaks prefix-ness whenever
+            # the dt boundary lands across a padded gap (tested:
+            # test_slabv_padded_and_empty_chunks_match_vt)
+            seed = jax.lax.dynamic_slice(
+                state.t_ring, (0, (r0 - 1) % NR), (S, 1))
+            tfill = jnp.concatenate(
+                [seed, jnp.where(cv, t, T_EMPTY)], axis=1)
+            tfill = jax.lax.associative_scan(
+                jnp.maximum, tfill, axis=1)[:, 1:]
+            t_ring = jax.lax.dynamic_update_slice(
+                state.t_ring, tfill, (0, r0))
+            state = state.replace(t_ring=t_ring)
+            # merge join: per-stream ring times (inserts) vs per-event
+            # thresholds (queries); a query at t == t_ins sorts FIRST
+            # so equal-time events stay candidates (dt inclusive,
+            # ev_graph.cu:64-66)
+            npts = S * NR
+            s_ins = jnp.repeat(jnp.arange(S, dtype=jnp.int32), NR)
+            s_q = jnp.repeat(jnp.arange(S, dtype=jnp.int32), C)
+            s_all = jnp.concatenate([s_ins, s_q])
+            t_all = jnp.concatenate([t_ring.reshape(-1), thr])
+            tie_all = jnp.concatenate([
+                jnp.ones((npts,), jnp.int32), jnp.zeros((E,), jnp.int32)])
+            payload = jnp.arange(npts + E, dtype=jnp.int32)
+            _, _, tie_s2, pay_s2 = jax.lax.sort(
+                (s_all, t_all, tie_all, payload), num_keys=3)
+            is_ins2 = tie_s2
+            pref2 = jnp.cumsum(is_ins2, dtype=jnp.int32) - is_ins2
+            _, pref_u = jax.lax.sort((pay_s2, pref2), num_keys=1)
+            j_sort = pref_u[npts:] - jnp.repeat(
+                jnp.arange(S, dtype=jnp.int32) * NR, C)
+            vmin = (n0 + C - NR) + j_sort                        # [E]
+        else:
+            cover_evict = jnp.ones((), bool)
+
         if self.bench_stage == "insert":
             # queue lives in the returned (donated) state, so the
             # scatter above survives DCE without extra anchors
-            return state, None, None, None, None, jnp.ones((2,), bool), ()
+            return (state, None, None, None, None,
+                    jnp.stack([cover_evict, jnp.ones((), bool)]), ())
 
         # one (2R+1, 2R+1, 2Q) slice per event; pad rows make every
         # out-of-frame cell a sentinel, and the slice always fits the
         # padded extent, so no per-cell bounds logic survives here
         ys = jnp.clip(y, 0, H - 1).reshape(E)
         xs = jnp.clip(x, 0, W - 1).reshape(E)
+        QW = NP * Q                              # payload words per slot row
         if self.split_gather:
             # per-stream slabs behind optimization_barrier: each
             # ~10 MB table stays under the backend's gather knee
             # (scripts/microbench3.py: 3.4 vs 37 ns/idx) — events are
             # stream-major so per-stream slices concatenate in order
-            q4 = queue.reshape(S, Hp, Wp, 2 * Q)
+            q4 = queue.reshape(S, Hp, Wp, QW)
             dn3 = jax.lax.GatherDimensionNumbers(
                 offset_dims=(1, 2, 3), collapsed_slice_dims=(),
                 start_index_map=(0, 1, 2))
@@ -617,9 +714,9 @@ class MultiStreamServer:
                     jnp.zeros((C,), jnp.int32)], axis=1)
                 outs.append(jax.lax.gather(
                     slab, st3, dn3,
-                    slice_sizes=(2 * R + 1, 2 * R + 1, 2 * Q),
+                    slice_sizes=(2 * R + 1, 2 * R + 1, QW),
                     mode=jax.lax.GatherScatterMode.CLIP))
-            rows = jnp.concatenate(outs).reshape(E, self.NS, 2 * Q)
+            rows = jnp.concatenate(outs).reshape(E, self.NS, QW)
         else:
             ss = jnp.repeat(jnp.arange(S, dtype=jnp.int32), C)
             starts = jnp.stack([ss, ys, xs, jnp.zeros_like(ss)], axis=1)
@@ -627,14 +724,16 @@ class MultiStreamServer:
                 offset_dims=(1, 2, 3), collapsed_slice_dims=(0,),
                 start_index_map=(0, 1, 2, 3))
             rows = jax.lax.gather(
-                queue.reshape(S, Hp, Wp, 2 * Q), starts, dn,
-                slice_sizes=(1, 2 * R + 1, 2 * R + 1, 2 * Q),
+                queue.reshape(S, Hp, Wp, QW), starts, dn,
+                slice_sizes=(1, 2 * R + 1, 2 * R + 1, QW),
                 mode=jax.lax.GatherScatterMode.CLIP,
-            ).reshape(E, self.NS, 2 * Q)           # row-major cell order
+            ).reshape(E, self.NS, QW)              # row-major cell order
         if self.bench_stage == "gather":
-            return state, None, None, None, None, jnp.ones((2,), bool), (rows,)
-        return self._finish_queue_search(state, rows, t_f, vid_f, cv,
-                                         row_major=True)
+            return (state, None, None, None, None,
+                    jnp.stack([cover_evict, jnp.ones((), bool)]), (rows,))
+        return self._finish_queue_search(
+            state, rows, t_f, vid_f, cv, row_major=True, vmin=vmin,
+            evict_ok=None if vmin is None else cover_evict)
 
     # ------------------------------------------------------------------
     def step(self, params, batch_stats, state: ServeState,

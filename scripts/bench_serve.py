@@ -4,11 +4,13 @@ reports aggregate Mevents/s and per-stream step cost so the S-scaling
 curve (S=8/16/32) can be recorded.
 
 Run: python scripts/bench_serve.py [S] [chunk] [T] [stage] [mode] [Q] [TE]
-stage in insert|search|select|conv|agg|full (default full) early-exits
-the step after that phase for per-stage cost attribution; mode in
-sort|queue|slab (default sort; "-split" suffix = per-stream slab
-gathers); Q = queue depth for queue/slab; TE = tail_every detection
-cadence (the pooled pyramid + head run every TE-th chunk).
+stage in insert|gather|search|select|conv|agg|tail1..tail5|full
+(default full) early-exits the step after that phase for per-stage
+cost attribution; "sweep"/"tailsweep" run a whole stage ladder; mode
+in sort|queue|slab|slabv (default sort; slabv = vid-only FIFO payload;
+"-split"/"-csplit" suffixes = per-stream slab/conv-ring gathers);
+Q = queue depth for queue/slab; TE = tail_every detection cadence
+(the pooled pyramid + head run every TE-th chunk).
 """
 import os
 import sys
@@ -50,8 +52,13 @@ def main():
     if stage == "sweep":
         # insert/gather early-exits only exist in the slab search
         stages = (["insert", "gather", "search", "select", "conv", "agg",
-                   "full"] if mode == "slab"
+                   "full"] if mode.startswith("slab")
                   else ["search", "select", "conv", "agg", "full"])
+    elif stage == "tailsweep":
+        # dense-tail attribution: exit after level-1 nodeset (tail1),
+        # after each layer+pool (tail2-5); head cost = full - tail5
+        stages = ["agg", "tail1", "tail2", "tail3", "tail4", "tail5",
+                  "full"]
     else:
         stages = [stage]
     REPS = 3 if stage == "sweep" else 6
@@ -69,9 +76,13 @@ def main():
     feat = np.concatenate(feat_w, axis=1)
     chunks = chunk_streams(pos, feat, chunk)
 
+    base = mode.split("-")[0]
+    # "slabv" = slab search with vid-only FIFO payload (half the table
+    # + slice traffic; dt test via the t-ring vmin join)
     srv = MultiStreamServer(cfg, H, W, n_streams=S, chunk=chunk,
-                            search_mode=mode.split("-")[0],
-                            queue_depth=qdepth, tail_every=tail_every)
+                            search_mode="slab" if base == "slabv" else base,
+                            queue_depth=qdepth, tail_every=tail_every,
+                            queue_payload="v" if base == "slabv" else "vt")
     if "-split" in mode:
         srv.split_gather = True
     if "-csplit" in mode:

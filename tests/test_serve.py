@@ -30,15 +30,19 @@ def _streams(rng, n_streams):
     return evs, pos, feat
 
 
-@pytest.mark.parametrize("mode", ["sort", "queue", "slab", "slab-split"])
+@pytest.mark.parametrize("mode", ["sort", "queue", "slab", "slab-split",
+                                  "slabv"])
 def test_serve_edges_match_builder(mode):
     rng = np.random.default_rng(0)
     evs, pos, feat = _streams(rng, 2)
     model = DAGR(CFG, height=H, width=W)
     variables = model.init(jax.random.key(0), evs[0], train=False)
 
-    srv = MultiStreamServer(CFG, H, W, n_streams=2, chunk=32,
-                            search_mode=mode.split("-")[0])
+    base = mode.split("-")[0]
+    srv = MultiStreamServer(
+        CFG, H, W, n_streams=2, chunk=32,
+        search_mode="slab" if base == "slabv" else base,
+        queue_payload="v" if base == "slabv" else "vt")
     if mode.endswith("-split"):
         srv.split_gather = True
     step = srv.make_step(variables["params"], variables["batch_stats"],
@@ -73,6 +77,8 @@ def test_serve_edges_match_builder(mode):
     # per-stream split gathers (slab table + conv feature ring): a
     # bench-measured layout choice that must stay bit-equal
     ("slab-split-csplit", CFG),
+    # vid-only FIFO payload: dt candidacy via the t-ring vmin join
+    ("slabv", CFG),
     # single-scale + temporal-ordering variant (the ncaltech-style
     # config exercises the outs[-1:] tail and the tmax edge filter)
     ("sort", CFG.replace(num_scales=1, keep_temporal_ordering=True)),
@@ -83,8 +89,11 @@ def test_serve_matches_sync_forward(mode, cfg):
     model = DAGR(cfg, height=H, width=W)
     variables = model.init(jax.random.key(0), evs[0], train=False)
 
-    srv = MultiStreamServer(cfg, H, W, n_streams=3, chunk=32,
-                            search_mode=mode.split("-")[0])
+    base = mode.split("-")[0]
+    srv = MultiStreamServer(
+        cfg, H, W, n_streams=3, chunk=32,
+        search_mode="slab" if base == "slabv" else base,
+        queue_payload="v" if base == "slabv" else "vt")
     if "-split" in mode:
         srv.split_gather = True
     if "-csplit" in mode:
@@ -153,7 +162,7 @@ def test_serve_chain_matches_stepwise():
         np.asarray(raw_last), np.asarray(raw_ref), atol=1e-5)
 
 
-@pytest.mark.parametrize("mode", ["queue", "slab"])
+@pytest.mark.parametrize("mode", ["queue", "slab", "slabv"])
 def test_coverage_flag_fires_on_queue_overflow(mode):
     """More same-pixel events inside the dt window than the queue depth
     must trip the exactness certificate (the only loss mode of the
@@ -170,13 +179,54 @@ def test_coverage_flag_fires_on_queue_overflow(mode):
     ev = random_events(rng, 1, CFG.n_nodes, width=W, height=H, n_valid=NV)
     variables = model.init(jax.random.key(0), ev, train=False)
 
-    srv = MultiStreamServer(CFG, H, W, n_streams=1, chunk=20, queue_depth=4,
-                            search_mode=mode)
+    srv = MultiStreamServer(
+        CFG, H, W, n_streams=1, chunk=20, queue_depth=4,
+        search_mode="slab" if mode == "slabv" else mode,
+        queue_payload="v" if mode == "slabv" else "vt")
     step = srv.make_step(variables["params"], variables["batch_stats"])
     st = srv.init_state()
     for c in chunk_streams(pos, feat, 20):
         st, _, info = step(st, *c)
     assert not bool(info["coverage_ok"])
+
+
+def test_slabv_padded_and_empty_chunks_match_vt():
+    """vid-only payload under padding: a tail-padded chunk AND a fully
+    invalid mid-stream chunk must leave selection identical to the
+    (vid, t)-payload slab engine — padding slots forward-fill the last
+    real time so the t-ring stays monotone in vid order, which is what
+    makes the vmin count an exact prefix split."""
+    rng = np.random.default_rng(11)
+    evs, pos, feat = _streams(rng, 2)
+    model = DAGR(CFG, height=H, width=W)
+    variables = model.init(jax.random.key(0), evs[0], train=False)
+
+    C = 40                                  # 96 = 40 + 40 + 16(+24 pad)
+    chunks = chunk_streams(pos, feat, C)
+    empty = (np.zeros((2, C, 3), np.int32),
+             np.zeros((2, C, feat.shape[-1]), np.float32),
+             np.zeros((2, C), bool))
+    seq = [chunks[0], empty, chunks[1], chunks[2]]
+
+    raws = {}
+    for payload in ("vt", "v"):
+        srv = MultiStreamServer(CFG, H, W, n_streams=2, chunk=C,
+                                search_mode="slab", queue_payload=payload)
+        step = srv.make_step(variables["params"], variables["batch_stats"],
+                             debug=True)
+        st = srv.init_state()
+        out = []
+        for c in seq:
+            st, raw, info = step(st, *c)
+            out.append((np.asarray(raw), np.asarray(info["nbr_vid"]),
+                        np.asarray(info["nbr_mask"])))
+        assert bool(info["coverage_ok"])
+        raws[payload] = out
+    for (r1, n1, m1), (r2, n2, m2) in zip(raws["vt"], raws["v"]):
+        np.testing.assert_array_equal(m1, m2)
+        np.testing.assert_array_equal(np.where(m1, n1, 0),
+                                      np.where(m2, n2, 0))
+        np.testing.assert_allclose(r1, r2, atol=1e-6)
 
 
 def test_coverage_flag_fires_on_ring_overflow():
