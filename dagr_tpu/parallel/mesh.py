@@ -54,3 +54,51 @@ def put_batch(tree, mesh: Mesh):
 
 def put_replicated(tree, mesh: Mesh):
     return jax.device_put(tree, replicated(mesh))
+
+
+def serve_state_spec(state) -> "jax.tree_util.PyTreeDef":
+    """PartitionSpec tree for a stream-major ServeState: every array
+    shards its leading (stream-major) axis over dp; scalars (num,
+    coverage_ok) stay replicated."""
+    return jax.tree.map(
+        lambda a: P("dp") if getattr(a, "ndim", 0) >= 1 else P(), state)
+
+
+def shard_serve_step(srv_local, mesh: Mesh):
+    """SPMD multi-stream serving over the mesh (SURVEY §2.3: N streams
+    x N chips, no collectives on the data path).
+
+    ``srv_local`` is a MultiStreamServer built with the PER-DEVICE
+    stream count; every ServeState table is stream-major by design, so
+    the state of a GLOBAL ``MultiStreamServer(S_global)`` shards on
+    axis 0 into exactly the local servers' layouts — the same fold that
+    batches streams on one chip distributes them across chips.  The
+    per-step exactness certificate is all-reduced so the carried
+    ``coverage_ok`` stays replicated (the only cross-chip exchange, one
+    bit per step).
+
+    Returns ``step(params, batch_stats, state, pos_px, feat, valid) ->
+    (state, raw, coverage_ok)`` jitted over the mesh.
+    """
+    import jax.numpy as jnp
+    from jax.experimental.shard_map import shard_map
+
+    def local_step(params, batch_stats, state, pos_px, feat, valid):
+        st, raw, info = srv_local.step(params, batch_stats, state,
+                                       pos_px, feat, valid)
+        bad = jax.lax.psum(
+            (~st.coverage_ok).astype(jnp.int32), "dp")
+        ok = bad == 0
+        st = st.replace(coverage_ok=ok)
+        return st, raw, ok
+
+    def wrap(params, batch_stats, state, pos_px, feat, valid):
+        spec = serve_state_spec(state)
+        fn = shard_map(
+            local_step, mesh=mesh,
+            in_specs=(P(), P(), spec, P("dp"), P("dp"), P("dp")),
+            out_specs=(spec, P("dp"), P()),
+        )
+        return fn(params, batch_stats, state, pos_px, feat, valid)
+
+    return jax.jit(wrap)

@@ -253,6 +253,43 @@ def test_coverage_flag_fires_on_ring_overflow():
     assert not bool(info["coverage_ok"])
 
 
+def test_sharded_serving_matches_global():
+    """SPMD serving: 8 streams sharded 1-per-device over the virtual
+    mesh must reproduce the single-device 8-stream server (same
+    stream-major layout, zero data-path collectives) with the
+    coverage certificate all-reduced."""
+    from jax.sharding import NamedSharding
+    from dagr_tpu.parallel.mesh import (
+        make_mesh, serve_state_spec, shard_serve_step)
+
+    n = 8
+    rng = np.random.default_rng(21)
+    evs, pos, feat = _streams(rng, n)
+    model = DAGR(CFG, height=H, width=W)
+    variables = model.init(jax.random.key(0), evs[0], train=False)
+    kw = dict(search_mode="slab", queue_payload="v", chunk=32)
+
+    srv_g = MultiStreamServer(CFG, H, W, n_streams=n, **kw)
+    step_g = srv_g.make_step(variables["params"], variables["batch_stats"])
+    st_g = srv_g.init_state()
+
+    mesh = make_mesh(n)
+    srv_l = MultiStreamServer(CFG, H, W, n_streams=1, **kw)
+    step_s = shard_serve_step(srv_l, mesh)
+    st_s = jax.device_put(
+        srv_g.init_state(),
+        jax.tree.map(lambda s: NamedSharding(mesh, s),
+                     serve_state_spec(srv_g.init_state())))
+
+    for c in chunk_streams(pos, feat, 32):
+        st_g, raw_g, info_g = step_g(st_g, *c)
+        st_s, raw_s, ok = step_s(
+            variables["params"], variables["batch_stats"], st_s, *c)
+    assert bool(info_g["coverage_ok"]) and bool(ok)
+    np.testing.assert_allclose(
+        np.asarray(raw_s), np.asarray(raw_g), atol=1e-5)
+
+
 def test_sort_mode_queue_cap_matches_builder():
     """Force a pixel past max_queue_size so the cond-guarded cap path
     executes, and pin it to the sync builder's selection.
