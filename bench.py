@@ -284,13 +284,35 @@ def main():
                 lats.append((time.perf_counter() - t0 - sec_ovh) / T_steps)
             lats.sort()
             step_ms = lats[len(lats) // 2]
-            assert bool(cover), "serving coverage certificate failed"
-            return round(S * mchunk / step_ms / 1e6, 3)
+            return round(S * mchunk / step_ms / 1e6, 3), bool(cover)
 
-        out["s8_c1024_mevents_s"] = run_cfg(8, 1024, 8)
+        def point(key, *args, **kw):
+            val, cover = run_cfg(*args, **kw)
+            # an uncovered point is not exact-mode serving — record it
+            # for diagnosis but exclude it from the headline
+            out[key] = val if cover else None
+            if not cover:
+                out[key + "_uncovered"] = val
+            best = [v for k, v in out.items()
+                    if k.endswith("mevents_s") and v is not None]
+            if best:
+                out["best_mevents_s"] = max(best)
+
+        # protocol-continuity point first (same as BENCH_r02), then the
+        # ladder of measured-candidate configs; SIGALRM preserves
+        # whatever completed if the compile server degrades
+        point("s8_c1024_mevents_s", 8, 1024, 8)
         out["mevents_s"] = out["s8_c1024_mevents_s"]   # continuity alias
-        out["s8_c4096_mevents_s"] = run_cfg(8, 4096, 4)
-        out["s16_c4096_mevents_s"] = run_cfg(16, 4096, 4)
+        point("s8_c4096_mevents_s", 8, 4096, 4)
+        # slab FIFO search, vid-only payload, per-stream split gathers
+        point("slabv_s8_c4096_mevents_s", 8, 4096, 4,
+              mode="slabv", Q=8, split=True)
+        # detection cadence 4 (state exact every chunk, head every 4th)
+        point("slabv_s8_c4096_te4_mevents_s", 8, 4096, 4,
+              mode="slabv", Q=8, split=True, tail_every=4)
+        point("s16_c4096_mevents_s", 16, 4096, 4)
+        point("slabv_s16_c4096_te4_mevents_s", 16, 4096, 4,
+              mode="slabv", Q=8, split=True, tail_every=4)
 
     ms = run_section(1800, measure_serving)
 
