@@ -1056,19 +1056,42 @@ class MultiStreamServer:
 
         return _step
 
-    def make_chain(self, params, batch_stats, n_steps: int):
+    def make_chain(self, params, batch_stats, n_steps: int,
+                   decode: bool = False):
         """Jitted scan over ``n_steps`` stacked chunks — amortizes the
         per-call tunnel overhead for honest device timing.  Returns
-        (state, raw_last, coverage_ok_all)."""
+        (state, raw_last, coverage_ok_all).
+
+        ``decode=True`` runs the full detect path (decode + confidence
+        filter + class-aware NMS, models/dagr.py:detect) on every FRESH
+        step inside the chain — event->DETECTION throughput at protocol
+        parity with the sync bench; skipped (tail_every) steps bypass
+        the decoder via the same freshness cond."""
+        if decode:
+            from dagr_tpu.models.dagr import detect
+
+        def _decode(raw):
+            det = detect(raw, self.cfg, self.height, self.width)
+            return det["boxes"], det["scores"]
 
         @functools.partial(jax.jit, donate_argnums=(0,))
         def _chain(state, pos_px, feat, valid):
             def body(s, pfv):
                 s, raw, info = self.step(params, batch_stats, s, *pfv)
-                return s, (raw, info["coverage_ok"])
-            state, (raws, cover) = jax.lax.scan(
+                out = raw
+                if decode:
+                    if self.tail_every == 1:
+                        out = _decode(raw)
+                    else:
+                        out = jax.lax.cond(
+                            info["raw_fresh"], _decode,
+                            lambda r: jax.tree.map(
+                                jnp.zeros_like,
+                                jax.eval_shape(_decode, r)), raw)
+                return s, (out, info["coverage_ok"])
+            state, (outs, cover) = jax.lax.scan(
                 body, state, (pos_px, feat, valid))
-            return state, raws[-1], cover.all()
+            return state, jax.tree.map(lambda a: a[-1], outs), cover.all()
 
         return _chain
 

@@ -87,6 +87,9 @@ def main():
         srv.split_gather = True
     if "-csplit" in mode:
         srv.split_conv_gather = True
+    # "-det": chain the full decode+NMS path on fresh steps (event ->
+    # DETECTION throughput, protocol parity with the sync bench)
+    decode = "-det" in mode
 
     probe = jax.jit(lambda x: x + 1)
     _ = np.asarray(probe(jnp.zeros((), jnp.float32)))
@@ -118,12 +121,12 @@ def main():
     for si, stg in enumerate(stages):
         srv.bench_stage = stg
         chain = srv.make_chain(
-            variables["params"], variables["batch_stats"], T)
+            variables["params"], variables["batch_stats"], T, decode=decode)
         g0 = si * (REPS + 1)
         st = srv.init_state()
         t0 = time.perf_counter()
         st, raw, cover = chain(st, *groups[g0])
-        _ = np.asarray(raw)
+        _ = jax.tree.map(np.asarray, raw)
         print(f"[{stg}] compile+first {time.perf_counter() - t0:.1f} s "
               f"coverage_ok={bool(cover)}", flush=True)
         # re-probe the tunnel overhead per stage: it drifts with host
@@ -140,7 +143,7 @@ def main():
         for rep in range(REPS):
             t0 = time.perf_counter()
             st, raw, cover = chain(st, *groups[g0 + rep + 1])
-            _ = np.asarray(raw)
+            _ = jax.tree.map(np.asarray, raw)
             lats.append((time.perf_counter() - t0 - ovh) / T)
         lats.sort()
         step_ms = lats[len(lats) // 2] * 1e3

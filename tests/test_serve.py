@@ -253,6 +253,43 @@ def test_coverage_flag_fires_on_ring_overflow():
     assert not bool(info["coverage_ok"])
 
 
+@pytest.mark.parametrize("te", [1, 2])
+def test_chain_decode_matches_step_detect(te):
+    """decode=True chains the full detect (decode+NMS) path on fresh
+    steps; its last output must equal detect() applied to the stepwise
+    raw (and zeros on a skipped tail_every step)."""
+    from dagr_tpu.models.dagr import detect
+
+    rng = np.random.default_rng(7)
+    evs, pos, feat = _streams(rng, 2)
+    model = DAGR(CFG, height=H, width=W)
+    variables = model.init(jax.random.key(0), evs[0], train=False)
+
+    srv = MultiStreamServer(CFG, H, W, n_streams=2, chunk=32,
+                            search_mode="slab", queue_payload="v",
+                            tail_every=te)
+    chunks = chunk_streams(pos, feat, 32)
+    step = srv.make_step(variables["params"], variables["batch_stats"])
+    st = srv.init_state()
+    for c in chunks:
+        st, raw_ref, info = step(st, *c)
+
+    chain = srv.make_chain(variables["params"], variables["batch_stats"],
+                           n_steps=len(chunks), decode=True)
+    stacked = tuple(np.stack([c[j] for c in chunks]) for j in range(3))
+    _, (boxes, scores), cover = chain(srv.init_state(), *stacked)
+    assert bool(cover)
+    last_fresh = (len(chunks) - 1) % te == te - 1
+    if last_fresh:
+        det = detect(np.asarray(raw_ref), CFG, H, W)
+        np.testing.assert_allclose(np.asarray(boxes),
+                                   np.asarray(det["boxes"]), atol=1e-5)
+        np.testing.assert_allclose(np.asarray(scores),
+                                   np.asarray(det["scores"]), atol=1e-5)
+    else:
+        assert not np.asarray(scores).any()
+
+
 def test_sharded_serving_matches_global():
     """SPMD serving: 8 streams sharded 1-per-device over the virtual
     mesh must reproduce the single-device 8-stream server (same
