@@ -230,7 +230,8 @@ def main():
         # stream so no rep ever re-feeds a chunk it has seen
         rng2 = np.random.default_rng(7)
         pw, fw = [], []
-        for w in range(3):
+        for w in range(4):   # 4 windows = 180k ev/stream: covers the
+                             # (reps+1)*T chunk groups at c8192 too
             evss = [random_events(rng2, 1, cfg.n_nodes, width=W, height=H,
                                   n_valid=NV) for _ in range(16)]
             p = np.stack(
@@ -299,20 +300,25 @@ def main():
                 out["best_mevents_s"] = max(best)
 
         # protocol-continuity point first (same as BENCH_r02), then the
-        # ladder of measured-candidate configs; SIGALRM preserves
-        # whatever completed if the compile server degrades
+        # measured-best exact point, then the rest of the ladder;
+        # SIGALRM preserves whatever completed if the compile server
+        # degrades.  All points are exact-mode certified: the slabv
+        # Q=8 + split-gather candidates were measured end-to-end and
+        # REJECTED — split per-stream gathers lose 6x in-chain (44 vs
+        # 6.7 ms/step for the one 4D slice gather) and Q=8 genuinely
+        # loses in-dt neighbors at hot pixels under chunk-granularity
+        # insert-then-search (certificate fires; oracle-confirmed,
+        # scripts/diag_slabv_oracle.py; BENCH_NOTES.md §3).
         point("s8_c1024_mevents_s", 8, 1024, 8)
         out["mevents_s"] = out["s8_c1024_mevents_s"]   # continuity alias
-        point("s8_c4096_mevents_s", 8, 4096, 4)
-        # slab FIFO search, vid-only payload, per-stream split gathers
-        point("slabv_s8_c4096_mevents_s", 8, 4096, 4,
-              mode="slabv", Q=8, split=True)
         # detection cadence 4 (state exact every chunk, head every 4th)
-        point("slabv_s8_c4096_te4_mevents_s", 8, 4096, 4,
-              mode="slabv", Q=8, split=True, tail_every=4)
-        point("s16_c4096_mevents_s", 16, 4096, 4)
-        point("slabv_s16_c4096_te4_mevents_s", 16, 4096, 4,
-              mode="slabv", Q=8, split=True, tail_every=4)
+        # - the measured best: 27.1 ms/step = 1.21 Mev/s, cert True
+        point("sort_te4_s8_c4096_mevents_s", 8, 4096, 4, tail_every=4)
+        point("s8_c4096_mevents_s", 8, 4096, 4)
+        point("slab_q16_te4_s8_c4096_mevents_s", 8, 4096, 4,
+              mode="slab", Q=16, tail_every=4)
+        point("sort_te4_s16_c4096_mevents_s", 16, 4096, 4, tail_every=4)
+        point("sort_te4_s8_c8192_mevents_s", 8, 8192, 4, tail_every=4)
 
     ms = run_section(1800, measure_serving)
 

@@ -56,6 +56,18 @@ step additionally returns a ``coverage_ok`` certificate that is True
 whenever the bounded state provably lost nothing (an event evicted
 from the ring while still inside some query's dt window is the only
 loss mode; it requires more than NR events to arrive within delta_t).
+
+Queue-depth sizing (queue/slab modes): insert-then-search runs at
+CHUNK granularity (the CUDA kernel's per-event semantics batched), so
+an event's search sees its chunk's FUTURE events already in the FIFO —
+they are excluded from selection (vid < vid_e) but they still occupy
+slots.  Exactness therefore needs Q >= (in-dt arrivals) + (same-chunk
+later arrivals) at the hottest pixel, NOT just the in-dt count: at the
+bench density (45k ev/s/stream, clustered) Q=8 with c4096 chunks
+genuinely loses in-dt neighbors at hot pixels (certificate fires;
+numpy-oracle-confirmed, scripts/diag_slabv_oracle.py) while Q=16 is
+certified clean.  The ``deep_in_dt`` certificate catches exactly this,
+so a too-shallow Q is always detected, never silent.
 The serve-vs-sync consistency test pins the whole pipeline to the
 sync forward at < 1e-4, the same standard as streaming/consistency.py.
 

@@ -45,8 +45,11 @@ def main():
     feat = np.concatenate(feat_w, axis=1)
     chunks = chunk_streams(pos, feat, chunk)
 
+    base = mode.split("-")[0]
     srv = MultiStreamServer(cfg, H, W, n_streams=S, chunk=chunk,
-                            search_mode=mode, queue_depth=qdepth)
+                            search_mode="slab" if base == "slabv" else base,
+                            queue_depth=qdepth,
+                            queue_payload="v" if base == "slabv" else "vt")
     step = srv.make_step(variables["params"], variables["batch_stats"])
     st = srv.init_state()
     for i, c in enumerate(chunks):
