@@ -33,13 +33,14 @@ import jax
 import jax.numpy as jnp
 
 from dagr_tpu.core.types import EventGraph, NodeSet, GRID_OFFSETS, GRID_SELF_OFFSET
+from dagr_tpu.ops.spline import stencil_srcs
 
 
 @functools.partial(
     jax.jit,
     static_argnames=(
         "grid_ny", "grid_nx", "width", "height", "aggr",
-        "keep_temporal_ordering", "self_loop",
+        "keep_temporal_ordering", "self_loop", "fine_hw",
     ),
 )
 def pool_graph(
@@ -57,6 +58,11 @@ def pool_graph(
     aggr: str = "max",
     keep_temporal_ordering: bool = False,
     self_loop: bool = False,
+    fine_hw=None,             # (ny, nx) when the FINE level is itself a
+                              # dense stencil grid (grid_hw set): its
+                              # nbr list is exactly the 9-offset stencil
+                              # in GRID_OFFSETS order, so per-edge source
+                              # lookups become canvas slices (no gathers)
 ):
     """Returns (feat', pos', mask', nbr', nbr_mask', tmax') on the
     ``grid_ny * grid_nx`` cell table (K' = 9 stencil slots).
@@ -139,6 +145,18 @@ def pool_graph(
         c_src_y = jnp.clip((sy * grid_ny).astype(jnp.int32), 0, grid_ny - 1)
         # builder edges are masked iff src is a valid event
         src_valid = nbr_mask
+    elif fine_hw is not None:
+        # fine level is a dense stencil grid: slot o's source is the
+        # cell at GRID_OFFSETS[o], so its coarse cell / validity are
+        # SHIFTED canvases of (cx, cy, mask) — three [B, N*9]-row
+        # gathers become padded slices (out-of-frame slots read the
+        # zero pad; nbr_mask is already False there)
+        fny, fnx = fine_hw
+        cxy = jnp.stack([cx, cy], axis=-1).reshape(B, fny, fnx, 2)
+        s_xy = stencil_srcs(cxy).reshape(B, N, K, 2)
+        c_src_x, c_src_y = s_xy[..., 0], s_xy[..., 1]
+        src_valid = stencil_srcs(
+            mask.reshape(B, fny, fnx, 1)).reshape(B, N, K)
     else:
         src = jnp.clip(nbr, 0, N - 1)
         c_src_x = jnp.take_along_axis(
@@ -174,16 +192,18 @@ def pool_graph(
     nbr_cells = jnp.clip(nx_ + grid_nx * ny_, 0, ncells - 1)  # [ncells, 9]
 
     nbr_out = jnp.broadcast_to(nbr_cells[None], (B, ncells, 9))
-    src_ok = jnp.take_along_axis(
-        cmask, nbr_out.reshape(B, -1), axis=1
-    ).reshape(B, ncells, 9)
+    # the coarse nbr list IS the 9-stencil, so source-cell validity and
+    # t_max are shifted canvases (slices) rather than [B, ncells*9]-row
+    # gathers; the zero pad reads False / 0.0 at out-of-frame slots,
+    # which inb[None] masks anyway
+    src_ok = stencil_srcs(
+        cmask.reshape(B, grid_ny, grid_nx, 1)).reshape(B, ncells, 9)
     nbr_mask_out = adj & inb[None] & src_ok & cmask[..., None]
 
     if keep_temporal_ordering:
         # keep edge only if t_max(dst) > t_max(src)  (pooling.py:69-72)
-        t_src = jnp.take_along_axis(
-            tmax, nbr_out.reshape(B, -1), axis=1
-        ).reshape(B, ncells, 9)
+        t_src = stencil_srcs(
+            tmax.reshape(B, grid_ny, grid_nx, 1)).reshape(B, ncells, 9)
         nbr_mask_out = nbr_mask_out & (tmax[..., None] > t_src)
 
     return pooled, pos_out, cmask, nbr_out, nbr_mask_out, tmax
@@ -200,11 +220,15 @@ def pool_nodeset(
     keep_temporal_ordering: bool = False,
 ) -> NodeSet:
     """NodeSet-level wrapper (mirrors Pooling.forward, pooling.py:51-97)."""
+    fine_hw = ns.grid_hw if (
+        ns.grid_hw is not None and ns.graph.nbr.shape[-1] == 9
+        and ns.graph.nbr_dpos is None) else None
     feat, pos, mask, nbr, nbr_mask, tmax = pool_graph(
         ns.feat, ns.pos, ns.mask, ns.graph.nbr, ns.graph.nbr_mask,
         ns.graph.nbr_dpos,
         grid_ny=grid_ny, grid_nx=grid_nx, width=width, height=height,
         aggr=aggr, keep_temporal_ordering=keep_temporal_ordering,
+        fine_hw=fine_hw,
     )
     return NodeSet(
         feat=feat, pos=pos, mask=mask,

@@ -100,6 +100,24 @@ def _shift2d(c: jnp.ndarray, dy: int, dx: int) -> jnp.ndarray:
     return out
 
 
+def stencil_srcs(c: jnp.ndarray) -> jnp.ndarray:
+    """All 9 GRID_OFFSETS shifts of a canvas in one padded extraction:
+    ``out[b, y, x, o] = c[y + dy_o, x + dx_o]`` (zero outside), i.e.
+    ``out[..., o, :] == _shift2d(c, *GRID_OFFSETS[o])``.
+
+    ONE pad + 9 static slices + a stack replace the per-offset
+    concatenate chains (2 materialized concats each) — the dense tail
+    is pure small-op launch overhead at pooled-grid sizes (~0.05% MFU,
+    BENCH_NOTES.md §3), so op count IS the cost model here."""
+    from dagr_tpu.core.types import GRID_OFFSETS
+
+    B, ny, nx, C = c.shape
+    p = jnp.pad(c, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    return jnp.stack(
+        [p[:, 1 + dy:1 + dy + ny, 1 + dx:1 + dx + nx]
+         for (dy, dx) in GRID_OFFSETS], axis=3)       # [B, ny, nx, 9, C]
+
+
 def stencil_basis(
     pos: jnp.ndarray,        # f32 [B, G, >=2]
     *,
@@ -108,19 +126,16 @@ def stencil_basis(
     kernel_size: int = 5,
 ) -> jnp.ndarray:
     """Per-offset spline basis on a dense cell grid: [B, G, 9, P].
-    Shares across the convs of one level (like edge_basis)."""
-    from dagr_tpu.core.types import GRID_OFFSETS
-
+    Shares across the convs of one level (like edge_basis).  All 9
+    offsets ride one stencil_srcs extraction + ONE bilinear_basis call
+    (the per-offset loop launched ~10 small ops per offset)."""
     ny, nx = grid_hw
     B = pos.shape[0]
     pc = pos[..., :2].reshape(B, ny, nx, 2)
-    bases = []
-    for (dy, dx) in GRID_OFFSETS:
-        src_p = _shift2d(pc, dy, dx)
-        attr = (src_p - pc) / (2.0 * max_value) + 0.5
-        bases.append(bilinear_basis(jnp.clip(attr, 0.0, 1.0), kernel_size))
-    return jnp.stack(bases, axis=3).reshape(
-        B, ny * nx, len(GRID_OFFSETS), kernel_size ** 2)
+    src_p = stencil_srcs(pc)                          # [B, ny, nx, 9, 2]
+    attr = (src_p - pc[..., None, :]) / (2.0 * max_value) + 0.5
+    bas = bilinear_basis(jnp.clip(attr, 0.0, 1.0), kernel_size)
+    return bas.reshape(B, ny * nx, src_p.shape[3], kernel_size ** 2)
 
 
 @functools.partial(
@@ -153,30 +168,27 @@ def stencil_spline_conv(
     P, _, cout = weight.shape
     xc = x.reshape(B, ny, nx, cin)
     m = nbr_mask.reshape(B, ny, nx, len(GRID_OFFSETS))
+
     if basis is not None:
         bas_all = basis.reshape(B, ny, nx, len(GRID_OFFSETS), P)
     else:
         pc = pos[..., :2].reshape(B, ny, nx, 2)
-
-    # gather the 9 shifted source canvases and contract the offset axis
-    # with ONE batched dot_general: the 9-pass accumulate loop costs
-    # ~9x the g-tensor's HBM traffic, the batched dot runs on the MXU
-    # (measured 27% faster at the L2 shape; scripts/microbench3.py era)
-    srcs = jnp.stack(
-        [_shift2d(xc, dy, dx) for (dy, dx) in GRID_OFFSETS],
-        axis=3)                                       # [B, ny, nx, 9, cin]
-    if basis is None:
-        bases = []
-        for o, (dy, dx) in enumerate(GRID_OFFSETS):
-            src_p = _shift2d(pc, dy, dx)
-            attr = (src_p - pc) / (2.0 * max_value) + 0.5
-            bases.append(bilinear_basis(jnp.clip(attr, 0.0, 1.0), kernel_size))
-        bas_all = jnp.stack(bases, axis=3)            # [B, ny, nx, 9, P]
+        src_p = stencil_srcs(pc)
+        attr = (src_p - pc[..., None, :]) / (2.0 * max_value) + 0.5
+        bas_all = bilinear_basis(
+            jnp.clip(attr, 0.0, 1.0), kernel_size)    # [B, ny, nx, 9, P]
     bas_m = bas_all * m[..., None]
-    g = jax.lax.dot_general(
-        bas_m, srcs,
-        dimension_numbers=(((3,), (3,)), ((0, 1, 2), (0, 1, 2))),
-        preferred_element_type=jnp.float32)           # [B, ny, nx, P, cin]
+
+    # contract the offset axis by SHIFT-ACCUMULATE over padded slices:
+    # expressing it as a batched dot_general lowers to B*G tiny
+    # [P, 9] @ [9, cin] matmuls, which this backend runs 37x slower
+    # than the fused 9-step multiply-add (0.066 vs 2.48 ms at the L2
+    # serve-tail shape; scripts/microbench6.py — variant D vs A)
+    pad = jnp.pad(xc, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    g = jnp.zeros((B, ny, nx, P, cin), jnp.float32)
+    for o, (dy, dx) in enumerate(GRID_OFFSETS):
+        so = pad[:, 1 + dy:1 + dy + ny, 1 + dx:1 + dx + nx]
+        g = g + bas_m[:, :, :, o, :, None] * so[..., None, :]
     out = jnp.dot(g.reshape(B * G, P * cin), weight.reshape(P * cin, cout),
                   preferred_element_type=jnp.float32)
     out = out.reshape(B, G, cout)

@@ -355,15 +355,16 @@ class StreamingDetector:
         ny_ = ccy[:, None] + offs[None, :, 0]
         inb = (nx_ >= 0) & (nx_ < self.nx1) & (ny_ >= 0) & (ny_ < self.ny1)
         nbr = jnp.clip(nx_ + self.nx1 * ny_, 0, G1 - 1)
-        # take_along_axis form: x[idx] gathers are ~100x slower on this
-        # backend (see verify notes / scripts/microbench.py)
-        src_ok = jnp.take_along_axis(
-            cmask.reshape(1, -1), nbr.reshape(1, -1), axis=1
-        ).reshape(nbr.shape)
+        # neighbor-cell validity / t_max are shifted canvases (padded
+        # slices, ops/spline.py:stencil_srcs) — cheaper than any gather
+        from dagr_tpu.ops.spline import stencil_srcs
+
+        src_ok = stencil_srcs(
+            cmask.reshape(1, self.ny1, self.nx1, 1)).reshape(nbr.shape)
         nbr_mask = state.adj & inb & src_ok & cmask[:, None]
         if cfg.keep_temporal_ordering:
-            tmax_nbr = jnp.take_along_axis(
-                state.tmax.reshape(1, -1), nbr.reshape(1, -1), axis=1
+            tmax_nbr = stencil_srcs(
+                state.tmax.reshape(1, self.ny1, self.nx1, 1)
             ).reshape(nbr.shape)
             nbr_mask = nbr_mask & (state.tmax[:, None] > tmax_nbr)
 

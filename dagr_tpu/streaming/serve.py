@@ -106,11 +106,18 @@ class ServeState:
     xin: jnp.ndarray        # f32 [S, NR, 1 + 2] (feat, px_norm, py_norm) ring
     x1: jnp.ndarray         # f32 [S, NR, C1] conv_block1 activations ring
     cell_cnt: jnp.ndarray   # i32 [S, G1]
-    cell_max: jnp.ndarray   # f32 [S, G1, C1]
     pos_sum: jnp.ndarray    # f32 [S, G1, 3]
     tmax: jnp.ndarray       # f32 [S, G1]
-    adj: jnp.ndarray        # bool [S, G1, 9]
     coverage_ok: jnp.ndarray  # bool [] exactness certificate
+    # --- window_mode == "grow" (bounded-window protocol) --------------
+    cell_max: Optional[jnp.ndarray] = None   # f32 [S, G1, C1] monotone max
+    adj: Optional[jnp.ndarray] = None        # bool [S, G1, 9] monotone OR
+    # --- window_mode == "ring" (infinite stream, capacity NR) ---------
+    cells_ring: Optional[jnp.ndarray] = None  # i32 [S, NR] cell or G1
+    posn_ring: Optional[jnp.ndarray] = None   # f32 [S, NR, 3]
+    valid_ring: Optional[jnp.ndarray] = None  # bool [S, NR]
+    x2r: Optional[jnp.ndarray] = None         # f32 [S, NR, C1] Layer1 out
+    adj_death: Optional[jnp.ndarray] = None   # i32 [S, G1, 9] max src vid
     # --- search_mode == "sort": event ring columns --------------------
     pix_ring: Optional[jnp.ndarray] = None   # i32 [S*NR] folded pixel or DEAD
     t_ring: Optional[jnp.ndarray] = None     # i32 [S, NR]
@@ -129,8 +136,26 @@ class MultiStreamServer:
     def __init__(self, cfg: DagrConfig, height: int, width: int,
                  n_streams: int, chunk: int, search_mode: str = "sort",
                  queue_depth: int = 16, ring: Optional[int] = None,
-                 tail_every: int = 1, queue_payload: str = "vt"):
+                 tail_every: int = 1, queue_payload: str = "vt",
+                 window_mode: str = "grow"):
         assert search_mode in ("sort", "queue", "slab")
+        # "grow": bounded-window protocol — level-1 aggregates grow
+        # monotonically, state is reset per time window (reference
+        # reset=True, asynchronous/__init__.py + ev_tgn.py:45-57).
+        # "ring": infinite-stream sliding window — the ring capacity NR
+        # is the store (reference delete_nodes, ev_graph.py:121-136):
+        # overwritten slots LEAVE the level-1 aggregates.  Sums (count,
+        # pos) subtract the evicted slots; t-max stays monotone (events
+        # evict oldest-first, so a cell with count > 0 always has its
+        # newest event live); feature-max is recomputed from the x2
+        # ring on fresh tail steps (max cannot subtract); adjacency
+        # keeps, per (cell, offset), the max source vid over edges —
+        # an edge dies exactly when its source slot is overwritten, so
+        # bit = (max_src_vid >= num - NR) is EXACT incremental
+        # liveness with no per-edge re-gather (the engine.py ring
+        # oracle pays an 800k-row liveness gather per step instead).
+        assert window_mode in ("grow", "ring")
+        self.window_mode = window_mode
         # "vt": FIFO slots carry (vid, t) pairs.  "v" (slab only): slots
         # carry vid alone — HALF the table, slice-gather and shift
         # traffic.  Exact because per-stream time is monotone in vid, so
@@ -166,8 +191,14 @@ class MultiStreamServer:
         self.Q = queue_depth
         # ring: must cover all events within delta_t (certified per
         # step); multiple of chunk so slice writes never straddle the
-        # wrap, and >= 2 chunks so the previous chunk stays visible
-        nr = ring or max(8192, 2 * chunk)
+        # wrap, and >= 2 chunks so the previous chunk stays visible.
+        # window_mode "ring": NR is additionally the sliding-window
+        # CAPACITY (the reference's max n_nodes store), so it defaults
+        # to cfg.n_nodes rounded up to the chunk size
+        if window_mode == "ring":
+            nr = ring or max(cfg.n_nodes, 2 * chunk)
+        else:
+            nr = ring or max(8192, 2 * chunk)
         self.NR = ((nr + chunk - 1) // chunk) * chunk
         assert self.NR >= 2 * chunk
         ch = cfg.channels()
@@ -229,16 +260,30 @@ class MultiStreamServer:
                 vid_ring=jnp.full((S * NR,), -1, jnp.int32),
                 queue=None,
             )
+        if self.window_mode == "ring":
+            win = dict(
+                cells_ring=jnp.full((S, NR), G1, jnp.int32),
+                posn_ring=jnp.zeros((S, NR, 3), jnp.float32),
+                valid_ring=jnp.zeros((S, NR), bool),
+                x2r=jnp.zeros((S, NR, self.c1), jnp.float32),
+                # any value < num - NR reads as dead forever
+                adj_death=jnp.full((S, G1, 9), T_EMPTY, jnp.int32),
+            )
+        else:
+            win = dict(
+                cell_max=jnp.full((S, G1, self.c1),
+                                  jnp.finfo(jnp.float32).min),
+                adj=jnp.zeros((S, G1, 9), bool),
+            )
         return ServeState(
             num=jnp.zeros((), jnp.int32),
             xin=jnp.zeros((S, NR, 3), jnp.float32),
             x1=jnp.zeros((S, NR, self.c1), jnp.float32),
             cell_cnt=jnp.zeros((S, G1), jnp.int32),
-            cell_max=jnp.full((S, G1, self.c1), jnp.finfo(jnp.float32).min),
             pos_sum=jnp.zeros((S, G1, 3), jnp.float32),
             tmax=jnp.full((S, G1), -jnp.inf, jnp.float32),
-            adj=jnp.zeros((S, G1, 9), bool),
             coverage_ok=jnp.ones((), bool),
+            **win,
             **rings,
         )
 
@@ -884,23 +929,51 @@ class MultiStreamServer:
         cx = jnp.clip((px * self.nx1).astype(jnp.int32), 0, self.nx1 - 1)
         cy = jnp.clip((py * self.ny1).astype(jnp.int32), 0, self.ny1 - 1)
         cell = cx + self.nx1 * cy                               # [S, C]
-        seg = jnp.where(
-            cv, jnp.arange(S, dtype=jnp.int32)[:, None] * G1 + cell, S * G1
-        ).reshape(E)
-        seg_sum = lambda v: jax.ops.segment_sum(
-            v, seg, num_segments=S * G1 + 1)[:S * G1]
-        seg_max = lambda v: jax.ops.segment_max(
-            v, seg, num_segments=S * G1 + 1)[:S * G1]
+        sgrid = jnp.arange(S, dtype=jnp.int32)[:, None] * G1
+        seg = jnp.where(cv, sgrid + cell, S * G1).reshape(E)
+        seg_sum = lambda v, s=seg: jax.ops.segment_sum(
+            v, s, num_segments=S * G1 + 1)[:S * G1]
+        seg_max = lambda v, s=seg: jax.ops.segment_max(
+            v, s, num_segments=S * G1 + 1)[:S * G1]
         big_neg = jnp.finfo(jnp.float32).min
         cvE = cv.reshape(E)
-        new_max = seg_max(jnp.where(cvE[:, None], x2, big_neg)
-                          ).reshape(S, G1, -1)
-        cell_cnt = state.cell_cnt + seg_sum(
-            cvE.astype(jnp.int32)).reshape(S, G1)
-        cell_max = jnp.maximum(state.cell_max, new_max)
-        pos_sum = state.pos_sum + seg_sum(
-            jnp.where(cvE[:, None], pos_norm.reshape(E, 3), 0.0)
-        ).reshape(S, G1, 3)
+        ring_win = self.window_mode == "ring"
+        if ring_win:
+            # sliding window: the slots about to be overwritten LEAVE
+            # the sums (read them BEFORE the ring writes below); count
+            # and pos-sum are exactly decomposable, t-max stays valid
+            # monotonically (eviction is oldest-first per stream, so a
+            # cell with count > 0 keeps its newest — the arg-max —
+            # event live), and the feature max is recomputed from the
+            # x2 ring inside the dense tail (fresh steps only)
+            ev_cells = jax.lax.dynamic_slice(
+                state.cells_ring, (0, r0), (S, C))
+            ev_valid = jax.lax.dynamic_slice(
+                state.valid_ring, (0, r0), (S, C))
+            ev_posn = jax.lax.dynamic_slice(
+                state.posn_ring, (0, r0, 0), (S, C, 3))
+            seg_ev = jnp.where(
+                ev_valid, sgrid + ev_cells, S * G1).reshape(E)
+            sub_cnt = seg_sum(
+                ev_valid.reshape(E).astype(jnp.int32), seg_ev)
+            sub_pos = seg_sum(jnp.where(
+                ev_valid[..., None], ev_posn, 0.0).reshape(E, 3), seg_ev)
+            cell_cnt = (state.cell_cnt - sub_cnt.reshape(S, G1)
+                        + seg_sum(cvE.astype(jnp.int32)).reshape(S, G1))
+            pos_sum = (state.pos_sum - sub_pos.reshape(S, G1, 3)
+                       + seg_sum(jnp.where(
+                           cvE[:, None], pos_norm.reshape(E, 3), 0.0)
+                       ).reshape(S, G1, 3))
+            cell_max = None
+        else:
+            new_max = seg_max(jnp.where(cvE[:, None], x2, big_neg)
+                              ).reshape(S, G1, -1)
+            cell_cnt = state.cell_cnt + seg_sum(
+                cvE.astype(jnp.int32)).reshape(S, G1)
+            cell_max = jnp.maximum(state.cell_max, new_max)
+            pos_sum = state.pos_sum + seg_sum(
+                jnp.where(cvE[:, None], pos_norm.reshape(E, 3), 0.0)
+            ).reshape(S, G1, 3)
         tmax = jnp.maximum(state.tmax, seg_max(
             jnp.where(cvE, pos_norm.reshape(E, 3)[:, 2], -jnp.inf)
         ).reshape(S, G1))
@@ -922,18 +995,45 @@ class MultiStreamServer:
         o = (ddy + 1) * 3 + (ddx + 1)
         ev = any_hit.reshape(S, C, K - 1) & cv[..., None] & in_st \
             & (o != 4)                                      # no self offset
-        bits = jnp.any(
-            (o[..., None] == jnp.arange(9, dtype=o.dtype)) & ev[..., None],
-            axis=2).reshape(E, 9)                               # [E, 9]
-        hit = jax.ops.segment_max(
-            bits.astype(jnp.int32), seg, num_segments=S * G1 + 1
-        )[:S * G1].reshape(S, G1, 9) > 0
-        adj = state.adj | hit
+        at_o = o[..., None] == jnp.arange(9, dtype=o.dtype)   # [S,C,K-1,9]
+        if ring_win:
+            # per (dst cell, offset): max source vid over the chunk's
+            # edges.  An edge dies exactly when its source slot is
+            # overwritten (src_vid < num - NR; the dst, being newer,
+            # always outlives it), so the liveness bit at tail time is
+            # just a compare — no per-edge re-gather ever
+            sv = src_vid.reshape(S, C, K - 1)
+            dval = jnp.max(jnp.where(
+                at_o & ev[..., None], sv[..., None], T_EMPTY),
+                axis=2).reshape(E, 9)                           # [E, 9]
+            adj_death = jnp.maximum(
+                state.adj_death, seg_max(dval).reshape(S, G1, 9))
 
-        state = state.replace(
-            cell_cnt=cell_cnt, cell_max=cell_max, pos_sum=pos_sum,
-            tmax=tmax, adj=adj,
-        )
+            # ring writes (the eviction reads above already happened)
+            cells_ring = jax.lax.dynamic_update_slice(
+                state.cells_ring, jnp.where(cv, cell, G1), (0, r0))
+            posn_ring = jax.lax.dynamic_update_slice(
+                state.posn_ring,
+                jnp.where(cv[..., None], pos_norm, 0.0), (0, r0, 0))
+            valid_ring = jax.lax.dynamic_update_slice(
+                state.valid_ring, cv, (0, r0))
+            x2r = jax.lax.dynamic_update_slice(
+                state.x2r, x2.reshape(S, C, -1), (0, r0, 0))
+            state = state.replace(
+                cell_cnt=cell_cnt, pos_sum=pos_sum, tmax=tmax,
+                adj_death=adj_death, cells_ring=cells_ring,
+                posn_ring=posn_ring, valid_ring=valid_ring, x2r=x2r,
+            )
+        else:
+            bits = jnp.any(at_o & ev[..., None], axis=2
+                           ).reshape(E, 9)                      # [E, 9]
+            hit = seg_max(bits.astype(jnp.int32)).reshape(S, G1, 9) > 0
+            adj = state.adj | hit
+
+            state = state.replace(
+                cell_cnt=cell_cnt, cell_max=cell_max, pos_sum=pos_sum,
+                tmax=tmax, adj=adj,
+            )
 
         if self.bench_stage == "agg":
             return bail(state)
@@ -976,9 +1076,25 @@ class MultiStreamServer:
         S = self.S
         G1 = self.ny1 * self.nx1
         cmask = state.cell_cnt > 0                              # [S, G1]
+        if self.window_mode == "ring":
+            # feature max over the LIVE ring (max cannot subtract
+            # evicted contributions): one segment pass over the x2
+            # ring, on fresh tail steps only (tail_every skips it)
+            NR = self.NR
+            big_neg = jnp.finfo(jnp.float32).min
+            segr = jnp.where(
+                state.valid_ring,
+                jnp.arange(S, dtype=jnp.int32)[:, None] * G1
+                + state.cells_ring, S * G1).reshape(S * NR)
+            cell_max = jax.ops.segment_max(
+                jnp.where(state.valid_ring.reshape(S * NR)[:, None],
+                          state.x2r.reshape(S * NR, -1), big_neg),
+                segr, num_segments=S * G1 + 1)[:S * G1].reshape(S, G1, -1)
+        else:
+            cell_max = state.cell_max
         feat = jnp.where(cmask[..., None], jnp.where(
-            state.cell_max > jnp.finfo(jnp.float32).min / 2,
-            state.cell_max, 0.0), 0.0)
+            cell_max > jnp.finfo(jnp.float32).min / 2,
+            cell_max, 0.0), 0.0)
         pos = state.pos_sum / jnp.maximum(state.cell_cnt[..., None], 1)
         pxy = jnp.floor((pos[..., :2] + 1e-5) * jnp.array(
             [self.width, self.height], jnp.float32))
@@ -994,12 +1110,22 @@ class MultiStreamServer:
         inb = (nx_ >= 0) & (nx_ < self.nx1) & (ny_ >= 0) & (ny_ < self.ny1)
         nbr = jnp.clip(nx_ + self.nx1 * ny_, 0, G1 - 1)         # [G1, 9]
         nbr_b = jnp.broadcast_to(nbr[None], (S, G1, 9))
-        src_ok = jnp.take_along_axis(
-            cmask, nbr_b.reshape(S, -1), axis=1).reshape(S, G1, 9)
-        nbr_mask = state.adj & inb[None] & src_ok & cmask[..., None]
+        # neighbor-cell validity / t_max are shifted canvases (padded
+        # slices) — the [S, G1*9]-row gathers were tail launch overhead
+        from dagr_tpu.ops.spline import stencil_srcs
+
+        src_ok = stencil_srcs(
+            cmask.reshape(S, self.ny1, self.nx1, 1)).reshape(S, G1, 9)
+        if self.window_mode == "ring":
+            # edge alive iff its newest source event still occupies its
+            # ring slot (see step's adj_death construction)
+            adj = state.adj_death >= state.num - self.NR
+        else:
+            adj = state.adj
+        nbr_mask = adj & inb[None] & src_ok & cmask[..., None]
         if cfg.keep_temporal_ordering:
-            tmax_nbr = jnp.take_along_axis(
-                state.tmax, nbr_b.reshape(S, -1), axis=1
+            tmax_nbr = stencil_srcs(
+                state.tmax.reshape(S, self.ny1, self.nx1, 1)
             ).reshape(S, G1, 9)
             nbr_mask = nbr_mask & (state.tmax[..., None] > tmax_nbr)
         return NodeSet(

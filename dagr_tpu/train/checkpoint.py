@@ -90,3 +90,26 @@ class Checkpointer:
         if meta_file.exists():
             epoch = json.loads(meta_file.read_text()).get("epoch", 0) + 1
         return state, epoch
+
+
+def load_eval_checkpoint(state, cfg) -> Tuple[Any, bool]:
+    """Resolve ``cfg.checkpoint`` into eval weights, shared by the eval
+    CLIs: a reference-style torch ``.pth``/``.pt`` file loads through
+    the converter (day-one parity with ``dagr_s_50.pth``, reference:
+    readme.md:66-76 + scripts/run_test.py:57-58); anything else
+    restores the orbax best-then-last checkpoint.  Returns
+    ``(state, loaded)``."""
+    if not cfg.checkpoint:
+        return state, False
+    path = Path(cfg.checkpoint)
+    if path.suffix in (".pth", ".pt"):
+        from dagr_tpu.models.torch_import import load_reference_checkpoint
+
+        params, stats = load_reference_checkpoint(path, cfg)
+        return state.replace(params=params, batch_stats=stats,
+                             ema_params=params, ema_stats=stats), True
+    restored, _ = Checkpointer(path.parent).restore_if_existing(
+        state, best=True)
+    if restored is not None:
+        return restored, True
+    return state, False

@@ -60,7 +60,13 @@ def main():
         # insert whole chunk first (insert-then-search)
         for s in range(S):
             for c in range(C):
+                # vid numbers ALL chunk slots (the engine does too), so
+                # t_all must stay aligned even on padded chunks: invalid
+                # slots forward-fill the last real time, mirroring the
+                # engine's cummax fill of t_ring (round-3 advisor, low)
                 if not v[s, c]:
+                    t_all[s].append(t_all[s][-1] if t_all[s]
+                                    else -(2 ** 30))
                     continue
                 x, y, t = int(p[s, c, 0]), int(p[s, c, 1]), int(p[s, c, 2])
                 vid = step * C + c

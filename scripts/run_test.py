@@ -17,7 +17,7 @@ from dagr_tpu.data.augment import Augmentations
 from dagr_tpu.data.dsec import DSEC
 from dagr_tpu.data.loader import Loader
 from dagr_tpu.models.dagr import DAGR
-from dagr_tpu.train.checkpoint import Checkpointer
+from dagr_tpu.train.checkpoint import load_eval_checkpoint
 from dagr_tpu.train.harness import run_test
 from dagr_tpu.train.state import init_state, make_optimizer
 
@@ -38,12 +38,11 @@ def main():
     sample = next(iter(Loader(ds, 1, cfg.n_nodes, with_images=cfg.use_image)))
     state = init_state(model, cfg, tx, jax.random.key(0), sample[0])
 
-    if cfg.checkpoint:
-        ckpt = Checkpointer(Path(cfg.checkpoint).parent)
-        restored, _ = ckpt.restore_if_existing(state, best=True)
-        if restored is not None:
-            state = restored
-            print(f"loaded checkpoint from {cfg.checkpoint}")
+    # .pth checkpoints load through the torch converter (dagr_s_50.pth
+    # parity path), everything else through orbax
+    state, loaded = load_eval_checkpoint(state, cfg)
+    if loaded:
+        print(f"loaded checkpoint from {cfg.checkpoint}")
 
     buf, dets = run_test(loader, model, state, cfg, H, W, ds.classes,
                          compile_detections=True)

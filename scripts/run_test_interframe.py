@@ -21,7 +21,7 @@ from dagr_tpu.data.augment import Augmentations
 from dagr_tpu.data.dsec import DSEC
 from dagr_tpu.data.loader import Loader
 from dagr_tpu.models.dagr import DAGR
-from dagr_tpu.train.checkpoint import Checkpointer
+from dagr_tpu.train.checkpoint import load_eval_checkpoint
 from dagr_tpu.train.harness import run_test
 from dagr_tpu.train.state import init_state, make_optimizer
 
@@ -66,11 +66,8 @@ def main():
     tx, _ = make_optimizer(cfg, num_iters_per_epoch=1)
     sample = next(iter(Loader(ds, 1, cfg.n_nodes, with_images=cfg.use_image)))
     state = init_state(model, cfg, tx, jax.random.key(0), sample[0])
-    if cfg.checkpoint:
-        ckpt = Checkpointer(Path(cfg.checkpoint).parent)
-        restored, _ = ckpt.restore_if_existing(state, best=True)
-        if restored is not None:
-            state = restored
+    # .pth loads through the torch converter, else orbax
+    state, _ = load_eval_checkpoint(state, cfg)
 
     out_dir = Path(cfg.output_directory)
     out_dir.mkdir(parents=True, exist_ok=True)

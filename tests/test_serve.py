@@ -327,6 +327,84 @@ def test_sharded_serving_matches_global():
         np.asarray(raw_s), np.asarray(raw_g), atol=1e-5)
 
 
+def _long_stream(rng, n_streams, n_windows):
+    """Concatenate n_windows of NV events per stream with monotone
+    times (the lockstep serving contract for infinite streams)."""
+    pos_w, feat_w = [], []
+    for w in range(n_windows):
+        evs = [random_events(rng, 1, CFG.n_nodes, width=W, height=H,
+                             n_valid=NV) for _ in range(n_streams)]
+        p = np.stack([np.asarray(e.pos_px()[0])[:NV] for e in evs]).copy()
+        p[..., 2] += np.int32(w * CFG.time_window_us)
+        pos_w.append(p)
+        feat_w.append(np.stack([np.asarray(e.feat[0])[:NV] for e in evs]))
+    return np.concatenate(pos_w, axis=1), np.concatenate(feat_w, axis=1)
+
+
+def test_ring_window_matches_engine_ring():
+    """window_mode='ring' (sliding capacity window, incremental
+    eviction accounting) must reproduce the single-stream engine's ring
+    mode (the full-store recompute oracle, engine.py ring branch) on a
+    stream that wraps the capacity several times.  Capacity eviction
+    may drop in-dt events (the reference's delete_nodes does too,
+    ev_graph.py:121-136) — equality is the contract here, coverage_ok
+    merely reports whether the dt window was fully covered."""
+    from dagr_tpu.streaming.engine import StreamingDetector, chunk_events
+
+    rng = np.random.default_rng(13)
+    pos, feat = _long_stream(rng, 1, 3)           # 288 events > ring 128
+    model = DAGR(CFG, height=H, width=W)
+    ev = random_events(rng, 1, CFG.n_nodes, width=W, height=H, n_valid=NV)
+    variables = model.init(jax.random.key(0), ev, train=False)
+
+    eng = StreamingDetector(CFG, H, W, chunk=32, count_flops=False,
+                            window_mode="ring")
+    est = eng.init_state()
+    estep = eng.make_step(variables["params"], variables["batch_stats"])
+
+    srv = MultiStreamServer(CFG, H, W, n_streams=1, chunk=32,
+                            ring=CFG.n_nodes, window_mode="ring",
+                            search_mode="sort")
+    sst = srv.init_state()
+    sstep = srv.make_step(variables["params"], variables["batch_stats"])
+
+    wrapped = False
+    for c in chunk_streams(pos, feat, 32):
+        est, raw_e, _ = estep(est, c[0][0], c[1][0], c[2][0])
+        sst, raw_s, _ = sstep(sst, *c)
+        if int(np.asarray(sst.num)) > CFG.n_nodes:
+            wrapped = True
+        np.testing.assert_allclose(
+            np.asarray(raw_s), np.asarray(raw_e), atol=1e-4)
+    assert wrapped                                # eviction really ran
+
+
+@pytest.mark.parametrize("mode", ["sort", "slabv"])
+def test_ring_window_matches_grow_below_capacity(mode):
+    """While the stream fits the capacity, ring mode's incremental
+    eviction bookkeeping must be a no-op: raw == grow mode exactly,
+    every step, any search mode."""
+    rng = np.random.default_rng(17)
+    evs, pos, feat = _streams(rng, 2)
+    model = DAGR(CFG, height=H, width=W)
+    variables = model.init(jax.random.key(0), evs[0], train=False)
+
+    kw = dict(search_mode="slab" if mode == "slabv" else mode,
+              queue_payload="v" if mode == "slabv" else "vt",
+              n_streams=2, chunk=32, ring=128)
+    srv_g = MultiStreamServer(CFG, H, W, **kw)
+    srv_r = MultiStreamServer(CFG, H, W, window_mode="ring", **kw)
+    sg = srv_g.make_step(variables["params"], variables["batch_stats"])
+    sr = srv_r.make_step(variables["params"], variables["batch_stats"])
+    stg, str_ = srv_g.init_state(), srv_r.init_state()
+    for c in chunk_streams(pos, feat, 32):      # 96 events < 128 slots
+        stg, raw_g, info_g = sg(stg, *c)
+        str_, raw_r, info_r = sr(str_, *c)
+        np.testing.assert_allclose(
+            np.asarray(raw_r), np.asarray(raw_g), atol=1e-6)
+    assert bool(info_g["coverage_ok"]) and bool(info_r["coverage_ok"])
+
+
 def test_sort_mode_queue_cap_matches_builder():
     """Force a pixel past max_queue_size so the cond-guarded cap path
     executes, and pin it to the sync builder's selection.
