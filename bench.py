@@ -345,6 +345,11 @@ def main():
         # (BENCH_NOTES.md §3, scripts/diag_slabv_oracle.py).
         point("s8_c1024", 8, 1024, 8)
         out["mevents_s"] = out["s8_c1024"]["mevents_s"]  # continuity alias
+        # best-certified candidates next, BEFORE the S-curve points: a
+        # late-session compile-server degradation must not eat the
+        # headline (SIGALRM keeps whatever completed)
+        point("slabv_q16_te4_s8_c8192", 8, 8192, 4, mode="slabv",
+              tail_every=4)
         point("sort_te4_s8_c4096", 8, 4096, 4, tail_every=4)
         # the same config with the full decode+NMS leg in-chain:
         # event -> DETECTION throughput (the sync headline's protocol)
@@ -358,8 +363,6 @@ def main():
               tail_every=4)
         point("sort_te4_s16_c4096", 16, 4096, 4, tail_every=4)
         point("sort_te4_s32_c4096", 32, 4096, 4, tail_every=4)
-        point("slabv_q16_te4_s8_c8192", 8, 8192, 4, mode="slabv",
-              tail_every=4)
         point("sort_te4_s8_c8192", 8, 8192, 4, tail_every=4)
 
     ms = run_section(2400, measure_serving)

@@ -408,6 +408,27 @@ class MultiStreamServer:
 
     # ------------------------------------------------------------------
     @staticmethod
+    def _chunk_fifo_payload(cols, Q):
+        """New-slot payload columns for the chunk FIFO push:
+        ``out[i, q, j] = cols[j][max(i - q, 0)]`` over the pixel-sorted
+        event order — i.e. slot q of row i holds the q-th-newest event
+        of its pixel run (``take_new`` masks slots beyond the run).
+
+        The direct form is an E*Q minor-axis width-1 gather (measured
+        ~6x slower than slices on this backend — CLAUDE.md); since the
+        index map is a pure SHIFT, pad each column once and take Q
+        static slices instead (~13.8 -> ~9.8 ms insert stage at
+        slabv S=8 c8192, bench_serve.py)."""
+        E = cols[0].shape[0]
+        outs = []
+        for v in cols:
+            vp = jnp.concatenate([jnp.broadcast_to(v[:1], (Q - 1,)), v])
+            outs.append(jnp.stack(
+                [jax.lax.slice_in_dim(vp, Q - 1 - q, Q - 1 - q + E)
+                 for q in range(Q)], axis=1))
+        return jnp.stack(outs, axis=-1)               # [E, Q, len(cols)]
+
+    @staticmethod
     def _fifo_shift(orow, ecnt, Q):
         """Shift a gathered FIFO row down by ``ecnt`` slots (the CUDA
         queue push, ev_graph.cu:130-166) and return the shifted
@@ -472,10 +493,7 @@ class MultiStreamServer:
         ecnt = jnp.minimum(idx_e - run_start + 1, Q)
         qs = jnp.arange(Q, dtype=jnp.int32)
         take_new = qs[None, :] < ecnt[:, None]
-        src_i = jnp.clip(idx_e[:, None] - qs[None, :], 0, E - 1)
-        vt = jnp.stack([vid_s, t_s], axis=1)
-        got = jnp.take_along_axis(
-            vt, src_i.reshape(-1)[:, None], axis=0).reshape(E, Q, 2)
+        got = self._chunk_fifo_payload([vid_s, t_s], Q)      # [E, Q, 2]
         orow = jnp.take_along_axis(state.queue, sp_s[:, None], axis=0)
         old = self._fifo_shift(orow, ecnt, Q)
         new_row = jnp.concatenate([
@@ -665,13 +683,10 @@ class MultiStreamServer:
         ecnt = jnp.minimum(idx_e - run_start + 1, Q)
         qs = jnp.arange(Q, dtype=jnp.int32)
         take_new = qs[None, :] < ecnt[:, None]
-        src_i = jnp.clip(idx_e[:, None] - qs[None, :], 0, E - 1)
         vid_only = self.queue_payload == "v"
-        vt = (vid_s[:, None] if vid_only
-              else jnp.stack([vid_s, t_s], axis=1))
-        NP = vt.shape[1]
-        got = jnp.take_along_axis(
-            vt, src_i.reshape(-1)[:, None], axis=0).reshape(E, Q, NP)
+        got = self._chunk_fifo_payload(
+            [vid_s] if vid_only else [vid_s, t_s], Q)     # [E, Q, NP]
+        NP = got.shape[2]
         orow = jnp.take_along_axis(
             state.queue, jnp.clip(sp_s, 0, NROW - 1)[:, None], axis=0)
         old = self._fifo_shift(orow, ecnt, Q)
