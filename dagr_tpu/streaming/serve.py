@@ -166,9 +166,37 @@ class MultiStreamServer:
         # search sort).  Events evicted from the t-ring are certified
         # older than every live threshold (cover[0], same condition as
         # sort mode), so the ring count reconstructs the global count.
-        assert queue_payload in ("vt", "v")
+        # "v16": the "v" design with slots narrowed to uint16 REBASED
+        # vids (rel = vid - base, base advanced every P = REB*chunk
+        # events by a cond-gated table pass that clamps dying entries
+        # to the sentinel).  Exactness: a clamped entry has vid < base
+        # <= num - NR, i.e. it left the t-ring at least a full rebase
+        # period ago — and cover[0] (the eviction certificate) already
+        # certifies every t-ring-evicted event to be older than all
+        # live and future dt thresholds (thresholds are monotone), so
+        # the clamp never removes a true candidate while the
+        # certificate holds; if it ever fired, coverage_ok is already
+        # False.  Round-4 motivation (scripts/microbench7.py): the slab
+        # slice gather is TABLE-SIZE bound (~10 MB knee), not
+        # payload-byte bound, and the candidate pass is byte-bound —
+        # u16 halves both axes.
+        assert queue_payload in ("vt", "v", "v16")
         assert queue_payload == "vt" or search_mode == "slab"
         self.queue_payload = queue_payload
+        self.rel16 = queue_payload == "v16"
+        if self.rel16:
+            # rebase period: smallest chunk multiple covering the ring
+            # (so clamped entries are always already ring-evicted); max
+            # stored rel is 2P - 1, which must stay below the sentinel
+            nr_tmp = ring or (max(cfg.n_nodes, 2 * chunk)
+                              if window_mode == "ring"
+                              else max(8192, 2 * chunk))
+            nr_tmp = ((nr_tmp + chunk - 1) // chunk) * chunk
+            self.P = -(-nr_tmp // chunk) * chunk
+            assert 2 * self.P < 2 ** 16 - 1, (
+                "v16 payload needs 2*rebase_period < 65535; use a "
+                "smaller chunk/ring or the 'v' payload")
+        self.REL_SENT = np.uint16(2 ** 16 - 1)
         # detection cadence: the pooled pyramid + head (the per-step
         # fixed cost) runs every Nth chunk; graph/conv/aggregate state
         # stays exact every step, skipped steps return raw=0 with
@@ -241,7 +269,11 @@ class MultiStreamServer:
             # forever, so out-of-frame spiral cells auto-fail candidacy
             R = self.radius
             nrow = S * (self.height + 2 * R) * (self.width + 2 * R)
-            if self.queue_payload == "v":
+            if self.queue_payload == "v16":
+                # rebased uint16 vids; the dt test rides the t-ring
+                queue = jnp.full((nrow, Q), self.REL_SENT, jnp.uint16)
+                t_ring = jnp.full((S, NR), T_EMPTY, jnp.int32)
+            elif self.queue_payload == "v":
                 # vid-only slots; the dt test rides the t-ring instead
                 queue = jnp.full((nrow, Q), -1, jnp.int32)
                 t_ring = jnp.full((S, NR), T_EMPTY, jnp.int32)
@@ -447,6 +479,16 @@ class MultiStreamServer:
         oshift = jnp.clip(qs[None, :] - ecnt[:, None], 0, Q - 1)
         oh = (oshift[:, :, None] == qs[None, None, :]).astype(jnp.float32)
         r = orow.reshape(E, NP, Q)
+        if orow.dtype == jnp.uint16:
+            # uint16 payloads are < 2^16: one f32 column per payload is
+            # exact under Precision.HIGH (bf16x3 == exact f32 operands
+            # below 2^24) with no hi/lo split — half the dot
+            picked = jax.lax.dot_general(
+                oh, r.astype(jnp.float32),
+                dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+                precision=jax.lax.Precision.HIGH,
+                preferred_element_type=jnp.float32)          # [E, Q, NP]
+            return picked.astype(jnp.uint16)
         hi = jax.lax.shift_right_arithmetic(r, 16).astype(jnp.float32)
         lo = (r & 0xFFFF).astype(jnp.float32)
         parts = jnp.concatenate([hi, lo], axis=1)            # [E, 2*NP, Q]
@@ -518,7 +560,7 @@ class MultiStreamServer:
                                          row_major=False)
 
     def _finish_queue_search(self, state, rows, t_f, vid_f, cv, row_major,
-                             vmin=None, evict_ok=None):
+                             vmin=None, evict_ok=None, base=None):
         """Shared tail of the FIFO-row searches: selection + the
         staleness certificate + the vid -> feature-ring-slot map."""
         S, C, Q, NR = self.S, self.chunk, self.Q, self.NR
@@ -527,7 +569,8 @@ class MultiStreamServer:
         vid_g = rows[..., :Q]
         t_g = rows[..., Q:] if rows.shape[-1] == 2 * Q else None
         any_hit, code_sel, src_vid, cover_d, chk = self._pick_neighbors(
-            vid_g, t_g, t_f, vid_f, cv, row_major=row_major, vmin=vmin)
+            vid_g, t_g, t_f, vid_f, cv, row_major=row_major, vmin=vmin,
+            base=base)
         if evict_ok is not None:
             cover_d = cover_d & evict_ok          # t-ring eviction cert
         if self.bench_stage == "search":
@@ -544,7 +587,7 @@ class MultiStreamServer:
         return state, src_tab, any_hit, code_sel, src_vid, cover, None
 
     def _pick_neighbors(self, vid_g, t_g, t_f, vid_f, cv, row_major,
-                        vmin=None):
+                        vmin=None, base=None):
         """First-(K-1) selection in (spiral cell, recency) priority from
         per-cell FIFO rows — the builder's compare-and-reduce over
         per-cell candidate counts, with value transport by one-hot
@@ -561,6 +604,16 @@ class MultiStreamServer:
         K = self.cfg.max_neighbors
         E = vid_g.shape[0]
         cvE = cv.reshape(E)
+        if base is not None:
+            # uint16 rebased payload: map everything into rel space
+            # (rel = vid - base < 2P < 2^16) so the comparisons, the dv
+            # transport, and the clip below all run UNCHANGED — the
+            # sentinel becomes -1, matching the wide payloads.  The
+            # where/convert is elementwise and fuses into the consumers.
+            vid_g = jnp.where(vid_g == self.REL_SENT, jnp.int32(-1),
+                              vid_g.astype(jnp.int32))
+            vid_f = vid_f - base
+            vmin = vmin - base
         vid_e = vid_f[:, None, None]
         if vmin is None:
             t_e = t_f[:, None, None]
@@ -644,6 +697,8 @@ class MultiStreamServer:
             == depth[..., None]
         dv_pick = jnp.sum(jnp.where(oh, rowdv, 0.0), axis=-1)
         src_vid = vid_f[:, None] - dv_pick.astype(jnp.int32)
+        if base is not None:
+            src_vid = src_vid + base        # rel space -> global vids
         src_vid = jnp.where(any_hit, src_vid, 0)
         return any_hit, code_sel, src_vid, cover, None
 
@@ -666,6 +721,23 @@ class MultiStreamServer:
         t_f = t.reshape(E)
         s_hp = (jnp.arange(S, dtype=jnp.int32) * (Hp * Wp))[:, None]
 
+        base = None
+        if self.rel16:
+            # uint16 rebased vids: base advances by P every P events; a
+            # cond-gated table pass (taken once per P/C steps) subtracts
+            # P and clamps entries falling below the new base to the
+            # sentinel (certified dead: they left the t-ring >= one full
+            # rebase period ago — see __init__'s payload note)
+            P = np.int32(self.P)
+            base = jnp.maximum(state.num // P - 1, 0) * P
+            Pu = np.uint16(self.P)
+            queue_r = jax.lax.cond(
+                (state.num % P == 0) & (state.num >= 2 * P),
+                lambda q: jnp.where((q == self.REL_SENT) | (q < Pu),
+                                    self.REL_SENT, q - Pu),
+                lambda q: q, state.queue)
+            state = state.replace(queue=queue_r)
+
         # FIFO insert (whole chunk first: insert-then-search,
         # ev_graph.cu:130-166); one row-gather + one row-scatter per
         # touched pixel, invalid/non-last rows dropped via OOB targets
@@ -683,9 +755,13 @@ class MultiStreamServer:
         ecnt = jnp.minimum(idx_e - run_start + 1, Q)
         qs = jnp.arange(Q, dtype=jnp.int32)
         take_new = qs[None, :] < ecnt[:, None]
-        vid_only = self.queue_payload == "v"
-        got = self._chunk_fifo_payload(
-            [vid_s] if vid_only else [vid_s, t_s], Q)     # [E, Q, NP]
+        vid_only = self.queue_payload != "vt"
+        if self.rel16:
+            got = self._chunk_fifo_payload(
+                [(vid_s - base).astype(jnp.uint16)], Q)   # [E, Q, 1]
+        else:
+            got = self._chunk_fifo_payload(
+                [vid_s] if vid_only else [vid_s, t_s], Q)  # [E, Q, NP]
         NP = got.shape[2]
         orow = jnp.take_along_axis(
             state.queue, jnp.clip(sp_s, 0, NROW - 1)[:, None], axis=0)
@@ -805,7 +881,7 @@ class MultiStreamServer:
                     jnp.stack([cover_evict, jnp.ones((), bool)]), (rows,))
         return self._finish_queue_search(
             state, rows, t_f, vid_f, cv, row_major=True, vmin=vmin,
-            evict_ok=None if vmin is None else cover_evict)
+            evict_ok=None if vmin is None else cover_evict, base=base)
 
     # ------------------------------------------------------------------
     def step(self, params, batch_stats, state: ServeState,

@@ -78,11 +78,14 @@ def main():
 
     base = mode.split("-")[0]
     # "slabv" = slab search with vid-only FIFO payload (half the table
-    # + slice traffic; dt test via the t-ring vmin join)
+    # + slice traffic; dt test via the t-ring vmin join); "slabv16" =
+    # the same with uint16 REBASED vids (half again)
+    payload = {"slabv": "v", "slabv16": "v16"}.get(base, "vt")
     srv = MultiStreamServer(cfg, H, W, n_streams=S, chunk=chunk,
-                            search_mode="slab" if base == "slabv" else base,
+                            search_mode=("slab" if base.startswith("slabv")
+                                         else base),
                             queue_depth=qdepth, tail_every=tail_every,
-                            queue_payload="v" if base == "slabv" else "vt")
+                            queue_payload=payload)
     if "-split" in mode:
         srv.split_gather = True
     if "-csplit" in mode:

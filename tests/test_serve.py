@@ -30,8 +30,11 @@ def _streams(rng, n_streams):
     return evs, pos, feat
 
 
+PAYLOAD = {"slabv": "v", "slabv16": "v16"}
+
+
 @pytest.mark.parametrize("mode", ["sort", "queue", "slab", "slab-split",
-                                  "slabv"])
+                                  "slabv", "slabv16"])
 def test_serve_edges_match_builder(mode):
     rng = np.random.default_rng(0)
     evs, pos, feat = _streams(rng, 2)
@@ -41,8 +44,8 @@ def test_serve_edges_match_builder(mode):
     base = mode.split("-")[0]
     srv = MultiStreamServer(
         CFG, H, W, n_streams=2, chunk=32,
-        search_mode="slab" if base == "slabv" else base,
-        queue_payload="v" if base == "slabv" else "vt")
+        search_mode="slab" if base.startswith("slabv") else base,
+        queue_payload=PAYLOAD.get(base, "vt"))
     if mode.endswith("-split"):
         srv.split_gather = True
     step = srv.make_step(variables["params"], variables["batch_stats"],
@@ -79,6 +82,8 @@ def test_serve_edges_match_builder(mode):
     ("slab-split-csplit", CFG),
     # vid-only FIFO payload: dt candidacy via the t-ring vmin join
     ("slabv", CFG),
+    # uint16 rebased vids (half the table + row traffic)
+    ("slabv16", CFG),
     # single-scale + temporal-ordering variant (the ncaltech-style
     # config exercises the outs[-1:] tail and the tmax edge filter)
     ("sort", CFG.replace(num_scales=1, keep_temporal_ordering=True)),
@@ -92,8 +97,8 @@ def test_serve_matches_sync_forward(mode, cfg):
     base = mode.split("-")[0]
     srv = MultiStreamServer(
         cfg, H, W, n_streams=3, chunk=32,
-        search_mode="slab" if base == "slabv" else base,
-        queue_payload="v" if base == "slabv" else "vt")
+        search_mode="slab" if base.startswith("slabv") else base,
+        queue_payload=PAYLOAD.get(base, "vt"))
     if "-split" in mode:
         srv.split_gather = True
     if "-csplit" in mode:
@@ -223,6 +228,50 @@ def test_slabv_padded_and_empty_chunks_match_vt():
         assert bool(info["coverage_ok"])
         raws[payload] = out
     for (r1, n1, m1), (r2, n2, m2) in zip(raws["vt"], raws["v"]):
+        np.testing.assert_array_equal(m1, m2)
+        np.testing.assert_array_equal(np.where(m1, n1, 0),
+                                      np.where(m2, n2, 0))
+        np.testing.assert_allclose(r1, r2, atol=1e-6)
+
+
+def test_v16_rebase_crossings_match_vt():
+    """uint16 rebased payload: a long stream whose vid count crosses
+    several rebase periods (P = NR here) must keep selection identical
+    to the (vid, t) payload — the cond-gated subtract pass, the
+    sentinel clamp, and the rel-space selection all exercised.  The
+    per-stream event count (420) spans > 3 rebases at P = 128."""
+    n = 420
+    rng = np.random.default_rng(13)
+    pos = np.zeros((2, n, 3), np.int32)
+    feat = rng.random((2, n, 1)).astype(np.float32)
+    for s in range(2):
+        pos[s, :, 0] = rng.integers(0, W, n)
+        pos[s, :, 1] = rng.integers(0, H, n)
+        # spread times so the ring (128) always covers the dt window
+        pos[s, :, 2] = np.cumsum(rng.integers(
+            CFG.delta_t_us() // 48, CFG.delta_t_us() // 24, n))
+
+    model = DAGR(CFG, height=H, width=W)
+    ev = random_events(rng, 1, CFG.n_nodes, width=W, height=H, n_valid=NV)
+    variables = model.init(jax.random.key(0), ev, train=False)
+
+    recs = {}
+    for payload in ("vt", "v16"):
+        srv = MultiStreamServer(CFG, H, W, n_streams=2, chunk=32, ring=128,
+                                search_mode="slab", queue_payload=payload)
+        if payload == "v16":
+            assert srv.P == 128 and n > 3 * srv.P
+        step = srv.make_step(variables["params"], variables["batch_stats"],
+                             debug=True)
+        st = srv.init_state()
+        out = []
+        for c in chunk_streams(pos, feat, 32):
+            st, raw, info = step(st, *c)
+            out.append((np.asarray(info["nbr_vid"]),
+                        np.asarray(info["nbr_mask"]), np.asarray(raw)))
+        assert bool(np.asarray(st.coverage_ok))
+        recs[payload] = out
+    for (n1, m1, r1), (n2, m2, r2) in zip(recs["vt"], recs["v16"]):
         np.testing.assert_array_equal(m1, m2)
         np.testing.assert_array_equal(np.where(m1, n1, 0),
                                       np.where(m2, n2, 0))
