@@ -137,8 +137,22 @@ class MultiStreamServer:
                  n_streams: int, chunk: int, search_mode: str = "sort",
                  queue_depth: int = 16, ring: Optional[int] = None,
                  tail_every: int = 1, queue_payload: str = "vt",
-                 window_mode: str = "grow"):
+                 window_mode: str = "grow", slab_pack: int = 1):
         assert search_mode in ("sort", "queue", "slab")
+        # slab_pack > 1: pack that many x-adjacent pixels per slab table
+        # row.  The slab slice gather costs per gathered ROW, not per
+        # byte (scripts/microbench9.py: 81 rows 10.2 ms -> 18 rows
+        # 1.9 ms at pack=8), so packing shrinks the spiral fetch to
+        # 9 x ceil coverage blocks.  Insert is unchanged (the packed
+        # table is a pure RESHAPE view of the per-pixel [nrow, Q]
+        # layout); selection maps cell (dy, dx) to packed sub-row
+        # (dy+R)*(xb*pack) + (x%pack) + (dx+R) — alignment-affine, so
+        # per-cell reductions run on all sub-rows and one width-3 row
+        # gather lands them in spiral order (see _pick_neighbors_packed).
+        assert slab_pack >= 1
+        if slab_pack > 1:
+            assert search_mode == "slab" and queue_payload == "v16", (
+                "slab_pack > 1 is implemented for the v16 payload")
         # "grow": bounded-window protocol — level-1 aggregates grow
         # monotonically, state is reset per time window (reference
         # reset=True, asynchronous/__init__.py + ev_tgn.py:45-57).
@@ -248,6 +262,22 @@ class MultiStreamServer:
         self.rm_of_spiral = (offs[:, 1] + R) * (2 * R + 1) + (offs[:, 0] + R)
         assert np.array_equal(np.sort(self.rm_of_spiral), np.arange(self.NS))
         self.spiral_of_rm = np.argsort(self.rm_of_spiral)
+        # packed-slab geometry: xb x-blocks of `pack` pixels cover the
+        # (2R+1)-wide x-window at any alignment; Wb blocks span the
+        # padded width AND leave room for the rightmost window start
+        self.pack = slab_pack
+        if slab_pack > 1:
+            self.xb = 1 + -(-2 * R // slab_pack)
+            self.Wb = max(-(-(width + 2 * R) // slab_pack),
+                          (width - 1) // slab_pack + self.xb)
+            self.Wbp = self.Wb * slab_pack
+            # spiral-ordered static sub-row base: alignment a = x % pack
+            # is added per event
+            self.idx0_spiral = (
+                (offs[:, 1] + R) * (self.xb * slab_pack)
+                + (offs[:, 0] + R)).astype(np.int32)
+        else:
+            self.Wbp = width + 2 * R
         # benchmarking aid: early-exit the step after a named stage
         # ("search" | "select" | "conv" | "agg" | "full"); a python
         # attr, so each setting is its own trace
@@ -267,8 +297,9 @@ class MultiStreamServer:
         elif self.search_mode == "slab":
             # padded per-stream FIFO table; border rows stay sentinel
             # forever, so out-of-frame spiral cells auto-fail candidacy
+            # (Wbp == padded width, rounded up to the pack grid)
             R = self.radius
-            nrow = S * (self.height + 2 * R) * (self.width + 2 * R)
+            nrow = S * (self.height + 2 * R) * self.Wbp
             if self.queue_payload == "v16":
                 # rebased uint16 vids; the dt test rides the t-ring
                 queue = jnp.full((nrow, Q), self.REL_SENT, jnp.uint16)
@@ -560,17 +591,23 @@ class MultiStreamServer:
                                          row_major=False)
 
     def _finish_queue_search(self, state, rows, t_f, vid_f, cv, row_major,
-                             vmin=None, evict_ok=None, base=None):
+                             vmin=None, evict_ok=None, base=None,
+                             align=None):
         """Shared tail of the FIFO-row searches: selection + the
         staleness certificate + the vid -> feature-ring-slot map."""
         S, C, Q, NR = self.S, self.chunk, self.Q, self.NR
         E = S * C
         K = self.cfg.max_neighbors
-        vid_g = rows[..., :Q]
-        t_g = rows[..., Q:] if rows.shape[-1] == 2 * Q else None
-        any_hit, code_sel, src_vid, cover_d, chk = self._pick_neighbors(
-            vid_g, t_g, t_f, vid_f, cv, row_major=row_major, vmin=vmin,
-            base=base)
+        if align is not None:
+            any_hit, code_sel, src_vid, cover_d, chk = \
+                self._pick_neighbors_packed(
+                    rows, vid_f, cv, vmin=vmin, base=base, align=align)
+        else:
+            vid_g = rows[..., :Q]
+            t_g = rows[..., Q:] if rows.shape[-1] == 2 * Q else None
+            any_hit, code_sel, src_vid, cover_d, chk = self._pick_neighbors(
+                vid_g, t_g, t_f, vid_f, cv, row_major=row_major, vmin=vmin,
+                base=base)
         if evict_ok is not None:
             cover_d = cover_d & evict_ok          # t-ring eviction cert
         if self.bench_stage == "search":
@@ -702,6 +739,83 @@ class MultiStreamServer:
         src_vid = jnp.where(any_hit, src_vid, 0)
         return any_hit, code_sel, src_vid, cover, None
 
+    def _pick_neighbors_packed(self, rows, vid_f, cv, vmin, base, align):
+        """First-(K-1) selection from a PACKED slab fetch (v16 payload).
+
+        ``rows`` is ``[E, NC, Q]`` uint16 rel-vids over NC =
+        (2R+1)*xb*pack sub-rows; event ``e``'s spiral cell ``i`` lives
+        at sub-row ``idx0_spiral[i] + align[e]`` (alignment-affine, see
+        __init__).  Per-cell reductions (candidate count, first-older,
+        deep flag) run alignment-obliviously over ALL sub-rows — the
+        extra non-neighborhood sub-rows cost ~NC/NS more elementwise
+        work but never enter selection or coverage — then ONE width-3
+        row gather lands them in spiral order.  The transport dot
+        carries the selected sub-row index ``j_sel`` as a fourth
+        column, and each selection's Q-deep FIFO row is fetched by a
+        width-Q row gather, so nothing [E, NS, Q+3]-sized is ever
+        materialized (cf. the unpacked ``_pick_neighbors``).  Same
+        selection contract as the builder (ev_graph.cu:48-77): spiral
+        cell order x FIFO recency, dt via the vid threshold ``vmin``.
+        """
+        Q = self.Q
+        K = self.cfg.max_neighbors
+        E, NC = rows.shape[0], rows.shape[1]
+        cvE = cv.reshape(E)
+        # rel space: payload entries are < 2P < 2^16; sentinel -> -1
+        v = jnp.where(rows == self.REL_SENT, jnp.int32(-1),
+                      rows.astype(jnp.int32))
+        vid_rel = vid_f - base
+        vmin_rel = vmin - base          # >= 0 (count semantics + rebase)
+        ve = vid_rel[:, None, None]
+        cand = (v >= vmin_rel[:, None, None]) & (v >= 0) & (v < ve)
+        cnt_nc = jnp.sum(cand, axis=-1).astype(jnp.int32)
+        fo_nc = jnp.sum(v >= ve, axis=-1)
+        deep_nc = v[..., Q - 1] >= vmin_rel[:, None]
+        trio = jnp.stack(
+            [cnt_nc, fo_nc, deep_nc.astype(jnp.int32)], axis=-1)
+        idx = jnp.asarray(self.idx0_spiral, jnp.int32)[None, :] \
+            + align[:, None]                                   # [E, NS]
+        trio_sp = jnp.take_along_axis(trio, idx[:, :, None], axis=1)
+        cnt_sp = trio_sp[..., 0]
+        fo_sp = trio_sp[..., 1]
+        miss = trio_sp[..., 2].astype(bool) & cvE[:, None]
+        cover = ~jnp.any(miss)
+        if self.bench_stage == "search":
+            return None, None, None, cover, (cnt_sp, fo_sp)
+        cum = jnp.cumsum(cnt_sp, axis=-1)
+        ks = jnp.arange(K - 1, dtype=jnp.int32)
+        at_sel = jnp.logical_not(cum[:, :, None] <= ks) \
+            & ((cum - cnt_sp)[:, :, None] <= ks)
+        any_hit = (cum[:, -1:] > ks) & cvE[:, None]
+        # 4-col transport dot: every value < 2^16, so Precision.HIGH
+        # (bf16x3) is exact; at_sel is one-hot over cells per k
+        cols = jnp.stack([
+            fo_sp.astype(jnp.float32),
+            jnp.broadcast_to(
+                jnp.asarray(self.cell_code, jnp.float32)[None, :],
+                (E, self.NS)),
+            (cum - cnt_sp).astype(jnp.float32),
+            idx.astype(jnp.float32),
+        ], axis=2)                                             # [E, NS, 4]
+        picked = jax.lax.dot_general(
+            at_sel.astype(jnp.float32), cols,
+            dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+            precision=jax.lax.Precision.HIGH,
+            preferred_element_type=jnp.float32)                # [E, K-1, 4]
+        fo_sel = picked[..., 0].astype(jnp.int32)
+        code_sel = picked[..., 1].astype(jnp.int32)
+        cum_prev = picked[..., 2].astype(jnp.int32)
+        j_sel = picked[..., 3].astype(jnp.int32)
+        # each selection's FIFO row: one width-Q row gather (fast regime
+        # — rows of >= 2 elements; scripts/microbench10.py)
+        rowv = jnp.take_along_axis(v, j_sel[:, :, None], axis=1)
+        depth = jnp.clip(fo_sel + ks[None, :] - cum_prev, 0, Q - 1)
+        oh = jnp.arange(Q, dtype=jnp.int32)[None, None, :] \
+            == depth[..., None]
+        src_rel = jnp.sum(jnp.where(oh, rowv, 0), axis=-1)
+        src_vid = jnp.where(any_hit, src_rel + base, 0)
+        return any_hit, code_sel, src_vid, cover, None
+
     # ------------------------------------------------------------------
     # search_mode == "slab": padded FIFO table + one slice gather/event
     # ------------------------------------------------------------------
@@ -715,7 +829,7 @@ class MultiStreamServer:
         S, C, Q, NR = self.S, self.chunk, self.Q, self.NR
         W, H = self.width, self.height
         R = self.radius
-        Hp, Wp = H + 2 * R, W + 2 * R
+        Hp, Wp = H + 2 * R, self.Wbp
         E = S * C
         NROW = S * Hp * Wp
         t_f = t.reshape(E)
@@ -845,6 +959,31 @@ class MultiStreamServer:
         ys = jnp.clip(y, 0, H - 1).reshape(E)
         xs = jnp.clip(x, 0, W - 1).reshape(E)
         QW = NP * Q                              # payload words per slot row
+        if self.pack > 1:
+            # packed view: Wb blocks of `pack` pixel sub-rows per y-row;
+            # one (2R+1, xb, pack*Q) slice covers the spiral window at
+            # any alignment (microbench9: 18 rows, ~5x cheaper than the
+            # 81-row unpacked slice at pack=8)
+            pk, xb, Wb = self.pack, self.xb, self.Wb
+            ss = jnp.repeat(jnp.arange(S, dtype=jnp.int32), C)
+            bx = jnp.clip(xs // pk, 0, Wb - xb)
+            starts = jnp.stack([ss, ys, bx, jnp.zeros_like(ss)], axis=1)
+            dn = jax.lax.GatherDimensionNumbers(
+                offset_dims=(1, 2, 3), collapsed_slice_dims=(0,),
+                start_index_map=(0, 1, 2, 3))
+            rows = jax.lax.gather(
+                queue.reshape(S, Hp, Wb, pk * QW), starts, dn,
+                slice_sizes=(1, 2 * R + 1, xb, pk * QW),
+                mode=jax.lax.GatherScatterMode.CLIP,
+            ).reshape(E, (2 * R + 1) * xb * pk, QW)  # packed sub-rows
+            align = xs - bx * pk                     # == x % pack, valid evs
+            if self.bench_stage == "gather":
+                return (state, None, None, None, None,
+                        jnp.stack([cover_evict, jnp.ones((), bool)]),
+                        (rows,))
+            return self._finish_queue_search(
+                state, rows, t_f, vid_f, cv, row_major=True, vmin=vmin,
+                evict_ok=cover_evict, base=base, align=align)
         if self.split_gather:
             # per-stream slabs behind optimization_barrier: each
             # ~10 MB table stays under the backend's gather knee

@@ -79,13 +79,19 @@ def main():
     base = mode.split("-")[0]
     # "slabv" = slab search with vid-only FIFO payload (half the table
     # + slice traffic; dt test via the t-ring vmin join); "slabv16" =
-    # the same with uint16 REBASED vids (half again)
+    # the same with uint16 REBASED vids (half again); "slabv16pN" =
+    # v16 with N x-adjacent pixels packed per slab row (the slice
+    # gather costs per ROW — scripts/microbench9.py)
+    pack = 1
+    if base.startswith("slabv16p"):
+        pack = int(base[len("slabv16p"):])
+        base = "slabv16"
     payload = {"slabv": "v", "slabv16": "v16"}.get(base, "vt")
     srv = MultiStreamServer(cfg, H, W, n_streams=S, chunk=chunk,
                             search_mode=("slab" if base.startswith("slabv")
                                          else base),
                             queue_depth=qdepth, tail_every=tail_every,
-                            queue_payload=payload)
+                            queue_payload=payload, slab_pack=pack)
     if "-split" in mode:
         srv.split_gather = True
     if "-csplit" in mode:

@@ -30,11 +30,14 @@ def _streams(rng, n_streams):
     return evs, pos, feat
 
 
-PAYLOAD = {"slabv": "v", "slabv16": "v16"}
+PAYLOAD = {"slabv": "v", "slabv16": "v16", "slabv16p4": "v16",
+           "slabv16p8": "v16"}
+PACK = {"slabv16p4": 4, "slabv16p8": 8}
 
 
 @pytest.mark.parametrize("mode", ["sort", "queue", "slab", "slab-split",
-                                  "slabv", "slabv16"])
+                                  "slabv", "slabv16", "slabv16p4",
+                                  "slabv16p8"])
 def test_serve_edges_match_builder(mode):
     rng = np.random.default_rng(0)
     evs, pos, feat = _streams(rng, 2)
@@ -45,7 +48,8 @@ def test_serve_edges_match_builder(mode):
     srv = MultiStreamServer(
         CFG, H, W, n_streams=2, chunk=32,
         search_mode="slab" if base.startswith("slabv") else base,
-        queue_payload=PAYLOAD.get(base, "vt"))
+        queue_payload=PAYLOAD.get(base, "vt"),
+        slab_pack=PACK.get(base, 1))
     if mode.endswith("-split"):
         srv.split_gather = True
     step = srv.make_step(variables["params"], variables["batch_stats"],
@@ -84,6 +88,8 @@ def test_serve_edges_match_builder(mode):
     ("slabv", CFG),
     # uint16 rebased vids (half the table + row traffic)
     ("slabv16", CFG),
+    # packed slab rows (4 pixels/row): alignment-affine selection
+    ("slabv16p4", CFG),
     # single-scale + temporal-ordering variant (the ncaltech-style
     # config exercises the outs[-1:] tail and the tmax edge filter)
     ("sort", CFG.replace(num_scales=1, keep_temporal_ordering=True)),
@@ -98,7 +104,8 @@ def test_serve_matches_sync_forward(mode, cfg):
     srv = MultiStreamServer(
         cfg, H, W, n_streams=3, chunk=32,
         search_mode="slab" if base.startswith("slabv") else base,
-        queue_payload=PAYLOAD.get(base, "vt"))
+        queue_payload=PAYLOAD.get(base, "vt"),
+        slab_pack=PACK.get(base, 1))
     if "-split" in mode:
         srv.split_gather = True
     if "-csplit" in mode:
@@ -377,7 +384,7 @@ def test_sharded_serving_matches_global():
 
 
 @pytest.mark.slow
-@pytest.mark.parametrize("mode", ["slab", "slabv"])
+@pytest.mark.parametrize("mode", ["slab", "slabv", "slabv16p8"])
 def test_serve_edges_match_builder_flagship_scale(mode):
     """Serve-vs-builder bit-identity at flagship geometry (320x240,
     K=16, radius 4 -> 81 spiral cells, thousands of events per stream)
@@ -400,7 +407,8 @@ def test_serve_edges_match_builder_flagship_scale(mode):
     variables = model.init(jax.random.key(0), evs[0], train=False)
     srv = MultiStreamServer(
         cfg, Hf, Wf, n_streams=2, chunk=chunk, search_mode="slab",
-        queue_payload="v" if mode == "slabv" else "vt")
+        queue_payload=PAYLOAD.get(mode, "vt"),
+        slab_pack=PACK.get(mode, 1))
     step = srv.make_step(variables["params"], variables["batch_stats"],
                          debug=True)
     st = srv.init_state()
