@@ -745,22 +745,37 @@ class MultiStreamServer:
         ``rows`` is ``[E, NC, Q]`` uint16 rel-vids over NC =
         (2R+1)*xb*pack sub-rows; event ``e``'s spiral cell ``i`` lives
         at sub-row ``idx0_spiral[i] + align[e]`` (alignment-affine, see
-        __init__).  Per-cell reductions (candidate count, first-older,
-        deep flag) run alignment-obliviously over ALL sub-rows — the
-        extra non-neighborhood sub-rows cost ~NC/NS more elementwise
-        work but never enter selection or coverage — then ONE width-3
-        row gather lands them in spiral order.  The transport dot
-        carries the selected sub-row index ``j_sel`` as a fourth
-        column, and each selection's Q-deep FIFO row is fetched by a
-        width-Q row gather, so nothing [E, NS, Q+3]-sized is ever
-        materialized (cf. the unpacked ``_pick_neighbors``).  Same
-        selection contract as the builder (ev_graph.cu:48-77): spiral
-        cell order x FIFO recency, dt via the vid threshold ``vmin``.
-        """
+        __init__).  Primitive choice is everything here
+        (scripts/microbench10.py): any per-event minor-axis
+        ``take_along_axis`` over the sub-row axis is catastrophic
+        (58-100 ms/step), so
+
+        * per-cell reductions (candidate count, first-older, deep
+          flag) run alignment-obliviously over ALL sub-rows (the extra
+          non-neighborhood sub-rows never enter selection or coverage),
+        * the reduced [E, n_dy, WW, 3] block is alignment-normalized by
+          binary-decomposed CONDITIONAL ROLLS (log2(pack) elementwise
+          select passes over the small reduced array — never over the
+          Q-deep rows),
+        * the transport dot carries the selected sub-row index
+          ``j_sel`` as a fourth column, and
+        * the selected values ride one iota-compare one-hot
+          ``dot_general`` over the NC axis (MXU, exact at HIGH for
+          values < 2^24 — the _fifo_shift pattern).
+
+        Same selection contract as the builder (ev_graph.cu:48-77):
+        spiral cell order x FIFO recency, dt via the vid threshold
+        ``vmin``."""
         Q = self.Q
         K = self.cfg.max_neighbors
         E, NC = rows.shape[0], rows.shape[1]
+        R = self.radius
+        n_dy = 2 * R + 1
+        WW = self.xb * self.pack
         cvE = cv.reshape(E)
+        # one materialization of the gathered slab: without the barrier
+        # XLA may duplicate the gather into each consumer fusion
+        rows = jax.lax.optimization_barrier(rows)
         # rel space: payload entries are < 2P < 2^16; sentinel -> -1
         v = jnp.where(rows == self.REL_SENT, jnp.int32(-1),
                       rows.astype(jnp.int32))
@@ -773,9 +788,17 @@ class MultiStreamServer:
         deep_nc = v[..., Q - 1] >= vmin_rel[:, None]
         trio = jnp.stack(
             [cnt_nc, fo_nc, deep_nc.astype(jnp.int32)], axis=-1)
-        idx = jnp.asarray(self.idx0_spiral, jnp.int32)[None, :] \
-            + align[:, None]                                   # [E, NS]
-        trio_sp = jnp.take_along_axis(trio, idx[:, :, None], axis=1)
+        trio = trio.reshape(E, n_dy, WW, 3)
+        # left-shift the packed-x axis by align (valid because align +
+        # dx + R <= pack - 1 + 2R < WW, so used positions never wrap)
+        sh = 1
+        while sh < self.pack:
+            bit = (align & sh) != 0
+            trio = jnp.where(bit[:, None, None, None],
+                             jnp.roll(trio, -sh, axis=2), trio)
+            sh <<= 1
+        trio_rm = trio[:, :, :n_dy, :].reshape(E, n_dy * n_dy, 3)
+        trio_sp = trio_rm[:, jnp.asarray(self.rm_of_spiral, jnp.int32)]
         cnt_sp = trio_sp[..., 0]
         fo_sp = trio_sp[..., 1]
         miss = trio_sp[..., 2].astype(bool) & cvE[:, None]
@@ -789,13 +812,15 @@ class MultiStreamServer:
         any_hit = (cum[:, -1:] > ks) & cvE[:, None]
         # 4-col transport dot: every value < 2^16, so Precision.HIGH
         # (bf16x3) is exact; at_sel is one-hot over cells per k
+        jcol = (jnp.asarray(self.idx0_spiral, jnp.float32)[None, :]
+                + align[:, None].astype(jnp.float32))
         cols = jnp.stack([
             fo_sp.astype(jnp.float32),
             jnp.broadcast_to(
                 jnp.asarray(self.cell_code, jnp.float32)[None, :],
                 (E, self.NS)),
             (cum - cnt_sp).astype(jnp.float32),
-            idx.astype(jnp.float32),
+            jcol,
         ], axis=2)                                             # [E, NS, 4]
         picked = jax.lax.dot_general(
             at_sel.astype(jnp.float32), cols,
@@ -806,13 +831,19 @@ class MultiStreamServer:
         code_sel = picked[..., 1].astype(jnp.int32)
         cum_prev = picked[..., 2].astype(jnp.int32)
         j_sel = picked[..., 3].astype(jnp.int32)
-        # each selection's FIFO row: one width-Q row gather (fast regime
-        # — rows of >= 2 elements; scripts/microbench10.py)
-        rowv = jnp.take_along_axis(v, j_sel[:, :, None], axis=1)
+        # selected FIFO rows by iota-compare one-hot dot over NC
+        oh_j = (jnp.arange(NC, dtype=jnp.int32)[None, None, :]
+                == j_sel[:, :, None]).astype(jnp.float32)      # [E,K-1,NC]
+        rowv = jax.lax.dot_general(
+            oh_j, v.astype(jnp.float32),
+            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            precision=jax.lax.Precision.HIGH,
+            preferred_element_type=jnp.float32)                # [E,K-1,Q]
         depth = jnp.clip(fo_sel + ks[None, :] - cum_prev, 0, Q - 1)
         oh = jnp.arange(Q, dtype=jnp.int32)[None, None, :] \
             == depth[..., None]
-        src_rel = jnp.sum(jnp.where(oh, rowv, 0), axis=-1)
+        src_rel = jnp.sum(jnp.where(oh, rowv, 0.0), axis=-1
+                          ).astype(jnp.int32)
         src_vid = jnp.where(any_hit, src_rel + base, 0)
         return any_hit, code_sel, src_vid, cover, None
 
@@ -1018,6 +1049,11 @@ class MultiStreamServer:
         if self.bench_stage == "gather":
             return (state, None, None, None, None,
                     jnp.stack([cover_evict, jnp.ones((), bool)]), (rows,))
+        # one materialization of the gathered slab: without the barrier
+        # XLA duplicates the (expensive) gather into each consumer
+        # fusion of the candidate pass (scripts/microbench10.py dup
+        # probe; the in-chain "search" stage delta shrank accordingly)
+        rows = jax.lax.optimization_barrier(rows)
         return self._finish_queue_search(
             state, rows, t_f, vid_f, cv, row_major=True, vmin=vmin,
             evict_ok=None if vmin is None else cover_evict, base=base)

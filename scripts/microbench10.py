@@ -20,6 +20,14 @@ The open questions this script answers on the real chip:
       dot for the row transport.
    V3 like V2 but fetch the K-1 rows by take_along_axis instead of
       the one-hot dot.
+   V4 windowed one-hot dot: normalize rows to [E, 81, Q] row-major on
+      the MXU (out[e,u,dy,q] = sum_o (o == a+u) rows[e,dy,o,q] — the
+      _fifo_shift pattern), then the unpacked big-dot select verbatim.
+
+Measured verdict (real chip): V1-V3 are catastrophic (58-100 ms/step —
+the per-event [E,144]->[E,81] take_along_axis is a batched minor-axis
+gather, the known-toxic primitive); V4 is the winner and is what
+serve.py ships.
 
 Run: python scripts/microbench10.py
 """
@@ -230,9 +238,57 @@ def main():
                           (xs, ys, ss, rel_e, vmin))
         return out
 
-    timeit("V1 align-gather rows + big dot   ", v1)
-    timeit("V2 NC reduce + j_sel one-hot dot ", lambda b: v23(b, True))
-    timeit("V3 NC reduce + j_sel row fetch   ", lambda b: v23(b, False))
+    def v4(bump):
+        n_dy = 2 * R + 1
+        WW = xb * pack
+
+        def body(c, xsa):
+            x, y, s, re_, vm = xsa
+            x = jnp.where(bump < -10**9, 0, x)
+            rows, a = packed_gather(x, y, s)
+            r4 = rows.reshape(E, n_dy, WW, Q)
+            o = jnp.arange(WW, dtype=jnp.int32)
+            u = jnp.arange(n_dy, dtype=jnp.int32)
+            oh = (o[None, None, :]
+                  == (a[:, None, None] + u[None, :, None])
+                  ).astype(jnp.float32)                  # [E, 9u, WWo]
+            out = lax.dot_general(
+                oh, r4.astype(jnp.float32),
+                dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+                precision=lax.Precision.HIGH,
+                preferred_element_type=jnp.float32)      # [E, 9u, 9dy, Q]
+            r_sp = out.transpose(0, 2, 1, 3).reshape(E, 81, Q)
+            v = jnp.where(r_sp == 2.0 ** 16 - 1, -1.0, r_sp
+                          ).astype(jnp.int32)
+            fo, cnt, cum, at_sel, any_hit, ks = common_sp(v, re_, vm)
+            cumcnt = cum - cnt
+            cols = jnp.concatenate([
+                v.astype(jnp.float32),
+                fo[..., None].astype(jnp.float32),
+                jnp.broadcast_to(code_cells[None, :, None], (E, 81, 1)),
+                cumcnt[..., None].astype(jnp.float32)], axis=2)
+            picked = lax.dot_general(
+                at_sel.astype(jnp.float32), cols,
+                dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+                precision=lax.Precision.HIGH,
+                preferred_element_type=jnp.float32)
+            rowv = picked[..., :Q]
+            fo_sel = picked[..., Q].astype(jnp.int32)
+            cum_prev = picked[..., Q + 2].astype(jnp.int32)
+            depth = jnp.clip(fo_sel + ks[None, :] - cum_prev, 0, Q - 1)
+            ohd = jnp.arange(Q, dtype=jnp.int32)[None, None, :] \
+                == depth[..., None]
+            src = jnp.sum(jnp.where(ohd, rowv, 0.0), axis=-1)
+            return c + src.sum().astype(jnp.int32) + any_hit.sum(), None
+        out, _ = lax.scan(body, jnp.int32(0),
+                          (xs, ys, ss, rel_e, vmin))
+        return out
+
+    if "v4" not in sys.argv[1:]:       # the losers, kept as evidence
+        timeit("V1 align-gather rows + big dot   ", v1)
+        timeit("V2 NC reduce + j_sel one-hot dot ", lambda b: v23(b, True))
+        timeit("V3 NC reduce + j_sel row fetch   ", lambda b: v23(b, False))
+    timeit("V4 windowed-dot normalize + select", v4)
 
 
 if __name__ == "__main__":
