@@ -198,13 +198,17 @@ def main():
         window_mode='ring': incremental eviction sums + death-vid
         adjacency instead of the engine oracle's full-store liveness
         re-gather — 9.25 ms p50 in BENCH_r03); engine.py's ring stays
-        the oracle (tests/test_serve.py::test_ring_window_matches_engine_ring)."""
+        the oracle (tests/test_serve.py::test_ring_window_matches_engine_ring).
+        Search: packed vid-only slab ('v' payload — the u16 rebase
+        range cannot cover an unbounded ring), measured 1.18 ms p50 vs
+        sort's 1.90 (scripts/bench_ring.py)."""
         from dagr_tpu.streaming.serve import MultiStreamServer
 
         NRING = ((cfg.n_nodes + chunk - 1) // chunk) * chunk
         srv = MultiStreamServer(cfg, H, W, n_streams=1, chunk=chunk,
                                 window_mode="ring", ring=NRING,
-                                search_mode="sort")
+                                search_mode="slab", queue_payload="v",
+                                slab_pack=8)
         chain_j = srv.make_chain(
             variables["params"], variables["batch_stats"], 8)
         st = srv.init_state()
@@ -265,12 +269,17 @@ def main():
 
         def run_cfg(S, mchunk, T_steps, reps=4, mode="sort", Q=16,
                     tail_every=1, decode=False):
-            # mode "slabv" = slab search with vid-only FIFO payload
+            # mode "slabv" = slab search with vid-only FIFO payload;
+            # "slabv16p8" = uint16 rebased vids + 8-pixel packed rows
+            # (the round-4 best family: per-row gather economics,
+            # scripts/microbench9/10/12.py)
+            payload = {"slabv": "v", "slabv16p8": "v16"}.get(mode, "vt")
             srv = MultiStreamServer(
                 cfg, H, W, n_streams=S, chunk=mchunk,
-                search_mode="slab" if mode == "slabv" else mode,
+                search_mode="slab" if mode.startswith("slabv") else mode,
                 queue_depth=Q, tail_every=tail_every,
-                queue_payload="v" if mode == "slabv" else "vt")
+                queue_payload=payload,
+                slab_pack=8 if mode == "slabv16p8" else 1)
             chain = srv.make_chain(
                 variables["params"], variables["batch_stats"], T_steps,
                 decode=decode)
@@ -347,22 +356,26 @@ def main():
         out["mevents_s"] = out["s8_c1024"]["mevents_s"]  # continuity alias
         # best-certified candidates next, BEFORE the S-curve points: a
         # late-session compile-server degradation must not eat the
-        # headline (SIGALRM keeps whatever completed)
+        # headline (SIGALRM keeps whatever completed).  The packed-v16
+        # slab family is the round-4 best (BENCH_NOTES.md §0b).
+        point("slabv16p8_te4_s8_c8192", 8, 8192, 4, mode="slabv16p8",
+              tail_every=4)
+        point("slabv16p8_te4_s16_c8192", 16, 8192, 4, mode="slabv16p8",
+              tail_every=4)
+        point("slabv16p8_te4_s32_c8192", 32, 8192, 4, mode="slabv16p8",
+              tail_every=4)
+        # the best family with the full decode+NMS leg in-chain:
+        # event -> DETECTION throughput (the sync headline's protocol)
+        point("slabv16p8_te4_s8_c8192_det", 8, 8192, 4,
+              mode="slabv16p8", tail_every=4, decode=True)
+        point("slabv16p8_te2_s8_c8192", 8, 8192, 4, mode="slabv16p8",
+              tail_every=2)
+        point("slabv16p8_te4_s8_c4096", 8, 4096, 4, mode="slabv16p8",
+              tail_every=4)
+        # round-3 protocol-continuity points (sort + unpacked slabv)
+        point("sort_te4_s8_c4096", 8, 4096, 4, tail_every=4)
         point("slabv_q16_te4_s8_c8192", 8, 8192, 4, mode="slabv",
               tail_every=4)
-        point("sort_te4_s8_c4096", 8, 4096, 4, tail_every=4)
-        # the same config with the full decode+NMS leg in-chain:
-        # event -> DETECTION throughput (the sync headline's protocol)
-        point("sort_te4_s8_c4096_det", 8, 4096, 4, tail_every=4,
-              decode=True)
-        point("slabv_q16_te4_s8_c4096", 8, 4096, 4, mode="slabv",
-              tail_every=4)
-        point("slabv_q16_te4_s16_c4096", 16, 4096, 4, mode="slabv",
-              tail_every=4)
-        point("slabv_q16_te4_s32_c4096", 32, 4096, 4, mode="slabv",
-              tail_every=4)
-        point("sort_te4_s16_c4096", 16, 4096, 4, tail_every=4)
-        point("sort_te4_s32_c4096", 32, 4096, 4, tail_every=4)
         point("sort_te4_s8_c8192", 8, 8192, 4, tail_every=4)
 
     ms = run_section(2400, measure_serving)

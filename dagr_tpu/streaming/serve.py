@@ -151,8 +151,10 @@ class MultiStreamServer:
         # gather lands them in spiral order (see _pick_neighbors_packed).
         assert slab_pack >= 1
         if slab_pack > 1:
-            assert search_mode == "slab" and queue_payload == "v16", (
-                "slab_pack > 1 is implemented for the v16 payload")
+            assert search_mode == "slab" and queue_payload in ("v", "v16"), (
+                "slab_pack > 1 is implemented for the vid-only payloads "
+                "('v16'; 'v' where the rebase range cannot cover the "
+                "ring, e.g. infinite-stream ring mode)")
         # "grow": bounded-window protocol — level-1 aggregates grow
         # monotonically, state is reset per time window (reference
         # reset=True, asynchronous/__init__.py + ev_tgn.py:45-57).
@@ -776,11 +778,16 @@ class MultiStreamServer:
         # one materialization of the gathered slab: without the barrier
         # XLA may duplicate the gather into each consumer fusion
         rows = jax.lax.optimization_barrier(rows)
-        # rel space: payload entries are < 2P < 2^16; sentinel -> -1
-        v = jnp.where(rows == self.REL_SENT, jnp.int32(-1),
-                      rows.astype(jnp.int32))
-        vid_rel = vid_f - base
-        vmin_rel = vmin - base          # >= 0 (count semantics + rebase)
+        if base is None:
+            # 'v' payload: i32 vids, sentinel already -1, global space
+            v = rows
+            vid_rel, vmin_rel = vid_f, vmin
+        else:
+            # rel space: payload entries are < 2P < 2^16; sentinel -> -1
+            v = jnp.where(rows == self.REL_SENT, jnp.int32(-1),
+                          rows.astype(jnp.int32))
+            vid_rel = vid_f - base
+            vmin_rel = vmin - base      # >= 0 (count semantics + rebase)
         ve = vid_rel[:, None, None]
         cand = (v >= vmin_rel[:, None, None]) & (v >= 0) & (v < ve)
         cnt_nc = jnp.sum(cand, axis=-1).astype(jnp.int32)
@@ -831,20 +838,33 @@ class MultiStreamServer:
         code_sel = picked[..., 1].astype(jnp.int32)
         cum_prev = picked[..., 2].astype(jnp.int32)
         j_sel = picked[..., 3].astype(jnp.int32)
-        # selected FIFO rows by iota-compare one-hot dot over NC
+        # selected FIFO rows by iota-compare one-hot dot over NC.  The
+        # v16 payload transports raw rel vids (< 2^16, exact at HIGH);
+        # the 'v' payload transports clipped vid DELTAS instead (raw
+        # i32 vids exceed HIGH's 2^24 exact range on long streams —
+        # same DV_CLIP contract as the unpacked path)
         oh_j = (jnp.arange(NC, dtype=jnp.int32)[None, None, :]
                 == j_sel[:, :, None]).astype(jnp.float32)      # [E,K-1,NC]
+        if base is None:
+            fetch = jnp.clip(vid_rel[:, None, None] - v,
+                             -DV_CLIP, DV_CLIP)
+        else:
+            fetch = v
         rowv = jax.lax.dot_general(
-            oh_j, v.astype(jnp.float32),
+            oh_j, fetch.astype(jnp.float32),
             dimension_numbers=(((2,), (1,)), ((0,), (0,))),
             precision=jax.lax.Precision.HIGH,
             preferred_element_type=jnp.float32)                # [E,K-1,Q]
         depth = jnp.clip(fo_sel + ks[None, :] - cum_prev, 0, Q - 1)
         oh = jnp.arange(Q, dtype=jnp.int32)[None, None, :] \
             == depth[..., None]
-        src_rel = jnp.sum(jnp.where(oh, rowv, 0.0), axis=-1
-                          ).astype(jnp.int32)
-        src_vid = jnp.where(any_hit, src_rel + base, 0)
+        picked_v = jnp.sum(jnp.where(oh, rowv, 0.0), axis=-1
+                           ).astype(jnp.int32)
+        if base is None:
+            src_vid = vid_f[:, None] - picked_v
+        else:
+            src_vid = picked_v + base
+        src_vid = jnp.where(any_hit, src_vid, 0)
         return any_hit, code_sel, src_vid, cover, None
 
     # ------------------------------------------------------------------

@@ -31,13 +31,13 @@ def _streams(rng, n_streams):
 
 
 PAYLOAD = {"slabv": "v", "slabv16": "v16", "slabv16p4": "v16",
-           "slabv16p8": "v16"}
-PACK = {"slabv16p4": 4, "slabv16p8": 8}
+           "slabv16p8": "v16", "slabvp4": "v", "slabvp8": "v"}
+PACK = {"slabv16p4": 4, "slabv16p8": 8, "slabvp4": 4, "slabvp8": 8}
 
 
 @pytest.mark.parametrize("mode", ["sort", "queue", "slab", "slab-split",
                                   "slabv", "slabv16", "slabv16p4",
-                                  "slabv16p8"])
+                                  "slabv16p8", "slabvp4"])
 def test_serve_edges_match_builder(mode):
     rng = np.random.default_rng(0)
     evs, pos, feat = _streams(rng, 2)
@@ -449,7 +449,8 @@ def _long_stream(rng, n_streams, n_windows):
     return np.concatenate(pos_w, axis=1), np.concatenate(feat_w, axis=1)
 
 
-def test_ring_window_matches_engine_ring():
+@pytest.mark.parametrize("mode", ["sort", "slabvp4"])
+def test_ring_window_matches_engine_ring(mode):
     """window_mode='ring' (sliding capacity window, incremental
     eviction accounting) must reproduce the single-stream engine's ring
     mode (the full-store recompute oracle, engine.py ring branch) on a
@@ -472,7 +473,9 @@ def test_ring_window_matches_engine_ring():
 
     srv = MultiStreamServer(CFG, H, W, n_streams=1, chunk=32,
                             ring=CFG.n_nodes, window_mode="ring",
-                            search_mode="sort")
+                            search_mode="slab" if mode != "sort" else "sort",
+                            queue_payload=PAYLOAD.get(mode, "vt"),
+                            slab_pack=PACK.get(mode, 1))
     sst = srv.init_state()
     sstep = srv.make_step(variables["params"], variables["batch_stats"])
 
@@ -487,18 +490,20 @@ def test_ring_window_matches_engine_ring():
     assert wrapped                                # eviction really ran
 
 
-@pytest.mark.parametrize("mode", ["sort", "slabv"])
+@pytest.mark.parametrize("mode", ["sort", "slabv", "slabvp4"])
 def test_ring_window_matches_grow_below_capacity(mode):
     """While the stream fits the capacity, ring mode's incremental
     eviction bookkeeping must be a no-op: raw == grow mode exactly,
-    every step, any search mode."""
+    every step, any search mode (slabvp4 = the packed 'v' payload the
+    serving-bench ring leg runs)."""
     rng = np.random.default_rng(17)
     evs, pos, feat = _streams(rng, 2)
     model = DAGR(CFG, height=H, width=W)
     variables = model.init(jax.random.key(0), evs[0], train=False)
 
-    kw = dict(search_mode="slab" if mode == "slabv" else mode,
-              queue_payload="v" if mode == "slabv" else "vt",
+    kw = dict(search_mode="slab" if mode.startswith("slabv") else mode,
+              queue_payload=PAYLOAD.get(mode, "vt"),
+              slab_pack=PACK.get(mode, 1),
               n_streams=2, chunk=32, ring=128)
     srv_g = MultiStreamServer(CFG, H, W, **kw)
     srv_r = MultiStreamServer(CFG, H, W, window_mode="ring", **kw)
