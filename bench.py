@@ -255,8 +255,9 @@ def main():
         # stream so no rep ever re-feeds a chunk it has seen
         rng2 = np.random.default_rng(7)
         pw, fw = [], []
-        for w in range(4):   # 4 windows = 180k ev/stream: covers the
-                             # (reps+1)*T chunk groups at c8192 too
+        for w in range(8):   # 8 windows = 360k ev/stream: covers the
+                             # (reps+1)*T chunk groups up to c16384
+                             # (5*4*16384 = 328k) and te8 at c8192
             evss = [random_events(rng2, 1, cfg.n_nodes, width=W, height=H,
                                   n_valid=NV) for _ in range(32)]
             p = np.stack(
@@ -370,6 +371,14 @@ def main():
               mode="slabv16p8", tail_every=4, decode=True)
         point("slabv16p8_te2_s8_c8192", 8, 8192, 4, mode="slabv16p8",
               tail_every=2)
+        # upside candidates: deeper tail amortization (T=8 so each
+        # timed group holds exactly one tail) and a larger chunk to
+        # shave per-step fixed overhead; both certificate-gated so an
+        # inexact point records None and cannot touch the headline
+        point("slabv16p8_te8_s8_c8192", 8, 8192, 8, mode="slabv16p8",
+              tail_every=8)
+        point("slabv16p8_te4_s8_c16384", 8, 16384, 4, mode="slabv16p8",
+              tail_every=4)
         point("slabv16p8_te4_s8_c4096", 8, 4096, 4, mode="slabv16p8",
               tail_every=4)
         # round-3 protocol-continuity points (sort + unpacked slabv)
