@@ -375,10 +375,12 @@ def main():
         # timed group holds exactly one tail) and a larger chunk to
         # shave per-step fixed overhead; both certificate-gated so an
         # inexact point records None and cannot touch the headline
-        point("slabv16p8_te8_s8_c8192", 8, 8192, 8, mode="slabv16p8",
-              tail_every=8)
-        point("slabv16p8_te4_s8_c16384", 8, 16384, 4, mode="slabv16p8",
-              tail_every=4)
+        upside = [
+            lambda: point("slabv16p8_te8_s8_c8192", 8, 8192, 8,
+                          mode="slabv16p8", tail_every=8),
+            lambda: point("slabv16p8_te4_s8_c16384", 8, 16384, 4,
+                          mode="slabv16p8", tail_every=4),
+        ]
         point("slabv16p8_te4_s8_c4096", 8, 4096, 4, mode="slabv16p8",
               tail_every=4)
         # round-3 protocol-continuity points (sort + unpacked slabv)
@@ -386,6 +388,8 @@ def main():
         point("slabv_q16_te4_s8_c8192", 8, 8192, 4, mode="slabv",
               tail_every=4)
         point("sort_te4_s8_c8192", 8, 8192, 4, tail_every=4)
+        for p in upside:          # last: pure upside, SIGALRM-safe
+            p()
 
     ms = run_section(2400, measure_serving)
 
