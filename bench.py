@@ -274,13 +274,16 @@ def main():
             # "slabv16p8" = uint16 rebased vids + 8-pixel packed rows
             # (the round-4 best family: per-row gather economics,
             # scripts/microbench9/10/12.py)
-            payload = {"slabv": "v", "slabv16p8": "v16"}.get(mode, "vt")
+            # "slabvp8" = packed rows over the i32 'v' payload (no u16
+            # rebase-range limit: required at c16384, where 2*P >= 2^16)
+            payload = {"slabv": "v", "slabv16p8": "v16",
+                       "slabvp8": "v"}.get(mode, "vt")
             srv = MultiStreamServer(
                 cfg, H, W, n_streams=S, chunk=mchunk,
                 search_mode="slab" if mode.startswith("slabv") else mode,
                 queue_depth=Q, tail_every=tail_every,
                 queue_payload=payload,
-                slab_pack=8 if mode == "slabv16p8" else 1)
+                slab_pack=8 if mode in ("slabv16p8", "slabvp8") else 1)
             chain = srv.make_chain(
                 variables["params"], variables["batch_stats"], T_steps,
                 decode=decode)
@@ -325,7 +328,16 @@ def main():
                     bool(np.asarray(st.coverage_ok)), round(step_ms * 1e3, 2))
 
         def point(key, S, mchunk, T_steps, **kw):
-            val, cover, step_ms = run_cfg(S, mchunk, T_steps, **kw)
+            # a config error in one point must never kill the section
+            # (run_section only catches the SIGALRM timeout): record
+            # the error and move on
+            try:
+                val, cover, step_ms = run_cfg(S, mchunk, T_steps, **kw)
+            except _SectionTimeout:
+                raise
+            except Exception as e:                      # noqa: BLE001
+                out[key] = {"error": f"{type(e).__name__}: {e}"[:200]}
+                return
             # an uncovered point is not exact-mode serving — record it
             # for diagnosis but exclude it from the headline.  Each
             # point carries the honest product pair: aggregate
@@ -371,15 +383,16 @@ def main():
               mode="slabv16p8", tail_every=4, decode=True)
         point("slabv16p8_te2_s8_c8192", 8, 8192, 4, mode="slabv16p8",
               tail_every=2)
-        # upside candidates: deeper tail amortization (T=8 so each
-        # timed group holds exactly one tail) and a larger chunk to
-        # shave per-step fixed overhead; both certificate-gated so an
-        # inexact point records None and cannot touch the headline
+        # upside candidate: deeper tail amortization (T=8 so each
+        # timed group holds exactly one tail); pre-measured 1.871
+        # Mev/s certified via scripts/bench_serve.py.  c16384 was
+        # measured-REJECTED (coverage_ok=False at Q=16 — 16384-event
+        # chunks overflow the FIFO depth — and 3.6x slower per event;
+        # its v16 rebase range also asserts at 2*P >= 2^16, which is
+        # why point() now exception-gates configs)
         upside = [
             lambda: point("slabv16p8_te8_s8_c8192", 8, 8192, 8,
                           mode="slabv16p8", tail_every=8),
-            lambda: point("slabv16p8_te4_s8_c16384", 8, 16384, 4,
-                          mode="slabv16p8", tail_every=4),
         ]
         point("slabv16p8_te4_s8_c4096", 8, 4096, 4, mode="slabv16p8",
               tail_every=4)

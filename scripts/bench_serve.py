@@ -86,6 +86,11 @@ def main():
     if base.startswith("slabv16p"):
         pack = int(base[len("slabv16p"):])
         base = "slabv16"
+    elif base.startswith("slabvp"):
+        # packed rows over the i32 'v' payload (no u16 rebase-range
+        # limit — required at chunks >= 16384, where 2*P >= 2^16)
+        pack = int(base[len("slabvp"):])
+        base = "slabv"
     payload = {"slabv": "v", "slabv16": "v16"}.get(base, "vt")
     srv = MultiStreamServer(cfg, H, W, n_streams=S, chunk=chunk,
                             search_mode=("slab" if base.startswith("slabv")
