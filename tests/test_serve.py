@@ -449,7 +449,7 @@ def _long_stream(rng, n_streams, n_windows):
     return np.concatenate(pos_w, axis=1), np.concatenate(feat_w, axis=1)
 
 
-@pytest.mark.parametrize("mode", ["sort", "slabvp4"])
+@pytest.mark.parametrize("mode", ["sort", "slabvp4", "slabvp8"])
 def test_ring_window_matches_engine_ring(mode):
     """window_mode='ring' (sliding capacity window, incremental
     eviction accounting) must reproduce the single-stream engine's ring
