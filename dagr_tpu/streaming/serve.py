@@ -200,18 +200,6 @@ class MultiStreamServer:
         assert queue_payload == "vt" or search_mode == "slab"
         self.queue_payload = queue_payload
         self.rel16 = queue_payload == "v16"
-        if self.rel16:
-            # rebase period: smallest chunk multiple covering the ring
-            # (so clamped entries are always already ring-evicted); max
-            # stored rel is 2P - 1, which must stay below the sentinel
-            nr_tmp = ring or (max(cfg.n_nodes, 2 * chunk)
-                              if window_mode == "ring"
-                              else max(8192, 2 * chunk))
-            nr_tmp = ((nr_tmp + chunk - 1) // chunk) * chunk
-            self.P = -(-nr_tmp // chunk) * chunk
-            assert 2 * self.P < 2 ** 16 - 1, (
-                "v16 payload needs 2*rebase_period < 65535; use a "
-                "smaller chunk/ring or the 'v' payload")
         self.REL_SENT = np.uint16(2 ** 16 - 1)
         # detection cadence: the pooled pyramid + head (the per-step
         # fixed cost) runs every Nth chunk; graph/conv/aggregate state
@@ -245,6 +233,30 @@ class MultiStreamServer:
             nr = ring or max(8192, 2 * chunk)
         self.NR = ((nr + chunk - 1) // chunk) * chunk
         assert self.NR >= 2 * chunk
+        if self.rel16:
+            # v16 rebase period == the ring size (both are the chunk
+            # rounding of the same horizon): clamped entries are then
+            # always already ring-evicted (the clamp-exactness argument
+            # needs P >= NR), and deriving P from NR keeps the two in
+            # sync by construction (round-4 advisor).  Max stored rel
+            # is 2P - 1, which must stay below the uint16 sentinel.
+            self.P = self.NR
+            assert 2 * self.P < 2 ** 16 - 1, (
+                "v16 payload needs 2*rebase_period < 65535; use a "
+                "smaller chunk/ring or the 'v' payload")
+        if queue_payload == "v":
+            # 'v' payload (packed or not): selected vid DELTAS ride a
+            # one-hot dot at Precision.HIGH.  A winning candidate has
+            # vid_e - vid <= NR + chunk (in-dt implies vid >= vmin >=
+            # num - NR, and vid_e < num + chunk), and integer transport
+            # through the bf16-split dot is only guaranteed exact to
+            # ~2^17 (round-4 advisor) — so tie the config to the real
+            # bound instead of trusting DV_CLIP's 2^20 headroom.
+            assert self.NR + chunk < 2 ** 17, (
+                "'v'-payload packed slab transports vid deltas up to "
+                "NR + chunk through a Precision.HIGH one-hot dot, which "
+                "is exact only below ~2^17; shrink ring/chunk or use "
+                "hi/lo 16-bit split transport")
         ch = cfg.channels()
         self.c1 = ch[1]
         self.grids = cfg.grid_shapes()
@@ -514,8 +526,10 @@ class MultiStreamServer:
         r = orow.reshape(E, NP, Q)
         if orow.dtype == jnp.uint16:
             # uint16 payloads are < 2^16: one f32 column per payload is
-            # exact under Precision.HIGH (bf16x3 == exact f32 operands
-            # below 2^24) with no hi/lo split — half the dot
+            # exact under Precision.HIGH (integer transport through the
+            # bf16-split dot is exact to ~2^17 — round-4 advisor; all
+            # u16 values sit safely below) with no hi/lo split — half
+            # the dot
             picked = jax.lax.dot_general(
                 oh, r.astype(jnp.float32),
                 dimension_numbers=(((2,), (2,)), ((0,), (0,))),
@@ -529,9 +543,10 @@ class MultiStreamServer:
         # runs f32 dots as single-pass bf16 (8 mantissa bits), which
         # rounds any 16-bit half >= 256 — the long-stream staleness
         # certificate caught exactly this (diag_serve_cover.py).  HIGH
-        # (bf16x3, 24 mantissa bits) represents each f32 operand
-        # exactly for |x| < 2^24 and the one-hot contraction sums a
-        # single term, so the transport is exact at half HIGHEST's cost
+        # represents integers exactly to ~2^17 (round-4 advisor bound;
+        # each 16-bit half is < 2^16) and the one-hot contraction sums
+        # a single term, so the transport is exact at half HIGHEST's
+        # cost
         picked = jax.lax.dot_general(
             oh, parts, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
             precision=jax.lax.Precision.HIGH,
@@ -692,10 +707,11 @@ class MultiStreamServer:
         # (cum - cnt) AT the selected crossing cell, so it transports
         # like any other per-cell value.  Exact: at_sel is one-hot over
         # cells so each output sums a single term; Precision.HIGH
-        # (bf16x3 == exact f32 operands below 2^24) because the TPU
-        # default single-pass bf16 dot rounds values above 2^8; dv is
-        # clipped to DV_CLIP = 2^20 (stale long before that, NR <<
-        # 2^20), so the clip never changes a live selection.
+        # because the TPU default single-pass bf16 dot rounds values
+        # above 2^8.  HIGH integer transport is exact to ~2^17 (round-4
+        # advisor): winning dv values are <= NR + chunk, which __init__
+        # asserts < 2^17 for the 'v' payload; DV_CLIP only bounds
+        # never-selected stale entries.
         sel = at_sel
         code_cells = self.cell_code
         if row_major:
@@ -763,7 +779,8 @@ class MultiStreamServer:
           ``j_sel`` as a fourth column, and
         * the selected values ride one iota-compare one-hot
           ``dot_general`` over the NC axis (MXU, exact at HIGH for
-          values < 2^24 — the _fifo_shift pattern).
+          values < ~2^17, round-4 advisor bound — the _fifo_shift
+          pattern; every transported quantity here is < 2^16).
 
         Same selection contract as the builder (ev_graph.cu:48-77):
         spiral cell order x FIFO recency, dt via the vid threshold
@@ -841,8 +858,10 @@ class MultiStreamServer:
         # selected FIFO rows by iota-compare one-hot dot over NC.  The
         # v16 payload transports raw rel vids (< 2^16, exact at HIGH);
         # the 'v' payload transports clipped vid DELTAS instead (raw
-        # i32 vids exceed HIGH's 2^24 exact range on long streams —
-        # same DV_CLIP contract as the unpacked path)
+        # raw i32 vids grow without bound on long streams while HIGH
+        # integer transport is only exact to ~2^17; winning deltas are
+        # <= NR + chunk, asserted < 2^17 in __init__ — same contract as
+        # the unpacked path)
         oh_j = (jnp.arange(NC, dtype=jnp.int32)[None, None, :]
                 == j_sel[:, :, None]).astype(jnp.float32)      # [E,K-1,NC]
         if base is None:
