@@ -40,6 +40,15 @@ import numpy as np
 
 from dagr_tpu.core.types import EventGraph
 from dagr_tpu.graph.reference import spiral_offsets
+from dagr_tpu.graph.slab import (
+    fifo_payload, fifo_shift, make_geom, packed_gather, packed_select)
+
+# slab fast-path FIFO depth: an event whose in-dt candidates may extend
+# below this depth trips the coverage flag and the whole window falls
+# back to the exact merge-join path (lax.cond), so any value is exact;
+# 16 is the serving engine's measured-best depth
+_SLAB_Q = 16
+_SLAB_SENT = np.uint16(0xFFFF)
 
 
 def _take(a: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
@@ -94,7 +103,7 @@ def _select_first_k(cnt, hi, order, K, M, cell_code=None):
     jax.jit,
     static_argnames=(
         "width", "height", "radius", "delta_t_us", "max_neighbors",
-        "queue_size", "chunk",
+        "queue_size", "chunk", "fast_path",
     ),
 )
 def build_graph(
@@ -107,7 +116,8 @@ def build_graph(
     delta_t_us: int,
     max_neighbors: int,
     queue_size: int = 128,
-    chunk: int = 0,        # kept for API compatibility; unused
+    chunk: int = 0,        # slab-path chunk size override (0 = 8192)
+    fast_path: str = "sort",   # "sort" | "slab" (chunked FIFO + fallback)
 ) -> EventGraph:
     """Precondition: timestamps must be window-relative, i.e.
     ``max(t) + delta_t_us < 2**31`` — the expire sort key is formed as
@@ -132,101 +142,225 @@ def build_graph(
     y = pos_px[..., 1].astype(jnp.int32)
     t = pos_px[..., 2].astype(jnp.int32)
 
-    b_ids = jnp.arange(B, dtype=jnp.int32)[:, None]
-    lin = jnp.where(mask, b_ids * HW + y * width + x, PAD)   # [B, N]
-    lin_f = lin.reshape(M)
-
-    # stable sort by pixel: within a pixel, slot order == time order
-    order = jnp.argsort(lin_f, stable=True).astype(jnp.int32)   # [M]
-
-    # per-pixel event counts (cap check) + segment ENDS (queue cap)
-    hist = jnp.zeros(B * HW + 1, jnp.int32).at[lin_f].add(
-        mask.reshape(M).astype(jnp.int32))
-
-    # candidate pixels: [M, S]
-    xn = x.reshape(M)[:, None] + offs[None, :, 0]
-    yn = y.reshape(M)[:, None] + offs[None, :, 1]
-    inb = (
-        (xn >= 0) & (xn < width) & (yn >= 0) & (yn < height)
-        & mask.reshape(M)[:, None]
-    )
-    bq = jnp.repeat(jnp.arange(B, dtype=jnp.int32), N)[:, None]
-    qpix = jnp.where(inb, bq * HW + yn * width + xn, PAD)       # [M, S]
-
-    # ---- lex merge join over (pixel, time, tie) ----------------------
-    # Three record types in ONE sort (keys: pixel, time, tie; +payload):
-    #   insert_j at (lin_j, t_j)      — a data event entering the queue
-    #   expire_j at (lin_j, t_j + dt) — the same event leaving the dt
-    #                                    window (t_j < t_e - dt  <=>
-    #                                    t_j + dt < t_e)
-    #   query_(e,s) at (qpix, t_e)    — one per spiral cell
-    # Per-pixel insert/expire totals are equal, so the cross-pixel terms
-    # of the two global prefix sums cancel and, at a query record,
-    #   prefix_insert = global data position (pixel-major) of t_e
-    #   prefix_insert - prefix_expire = #data within the dt window.
-    # This halves the sorted records vs. emitting a second query stream
-    # for the dt bound and kills the per-event dt bisect entirely.
-    # Tie order at equal (pixel, time): inserts with smaller slot ->
-    # query e -> everything else; the dt window is inclusive
-    # (reference: ev_graph.cu:64-66), so expire(t_j+dt == t_e) sorts
-    # AFTER the query via tie = 2M + slot.
-    e_flat = jnp.arange(M, dtype=jnp.int32)
-    pix_all = jnp.concatenate([lin_f, lin_f, qpix.reshape(-1)])
-    t_all = jnp.concatenate([
-        t.reshape(M), t.reshape(M) + delta_t_us, jnp.repeat(t.reshape(M), S),
-    ])
-    tie_all = jnp.concatenate([
-        e_flat * 2 + 1,                          # insert: odd, < 2M
-        e_flat + np.int32(2 * M),                # expire: >= 2M
-        jnp.repeat(e_flat, S) * 2,               # query:  even, < 2M
-    ])
-    payload = jnp.arange(pix_all.shape[0], dtype=jnp.int32)
-    _, _, tie_s, pay_s = jax.lax.sort(
-        (pix_all, t_all, tie_all, payload), num_keys=3)
-    is_exp = (tie_s >= np.int32(2 * M)).astype(jnp.int32)
-    is_ins = (tie_s & 1) * (1 - is_exp)
-    pref_ins = jnp.cumsum(is_ins, dtype=jnp.int32) - is_ins
-    pref_exp = jnp.cumsum(is_exp, dtype=jnp.int32) - is_exp
-    # unsort via kv sort (scatter is slower on this backend); when both
-    # prefixes fit 16 bits they ride one uint32 word so the unsort is a
-    # single 2-operand sort
-    if M < (1 << 16):
-        packed = (pref_ins.astype(jnp.uint32) << 16) \
-            | pref_exp.astype(jnp.uint32)
-        _, packed_u = jax.lax.sort((pay_s, packed), num_keys=1)
-        pq = packed_u[2 * M:]
-        cnt_hi = (pq >> 16).astype(jnp.int32).reshape(M, S)   # data pos of e
-        cnt_t = (pq & 0xFFFF).astype(jnp.int32).reshape(M, S)  # dt low bound
-    else:
-        _, ins_u, exp_u = jax.lax.sort(
-            (pay_s, pref_ins, pref_exp), num_keys=1)
-        cnt_hi = ins_u[2 * M:].reshape(M, S)
-        cnt_t = exp_u[2 * M:].reshape(M, S)
-
-    # queue cap: only bites when some pixel holds > queue_size events
-    # in the window (hot pixels); skip the [M, S] table gather otherwise
-    def with_cap(_):
-        seg_end_table = jnp.cumsum(hist[:-1], dtype=jnp.int32)  # [B*HW]
-        g_hi = _take(seg_end_table, jnp.clip(qpix, 0, B * HW - 1))
-        return jnp.where(inb, g_hi, 0) - queue_size
-
-    cap_lo = jax.lax.cond(
-        hist[:-1].max() > queue_size, with_cap,
-        lambda _: jnp.zeros_like(cnt_t), operand=None)
-    lo = jnp.maximum(cap_lo, cnt_t)
-    cnt = jnp.where(inb, jnp.maximum(cnt_hi - lo, 0), 0)        # [M, S]
-
-    # per-edge spiral cell packed as (dx+R) + 64*(dy+R): emitting the
-    # edge geometry here (one extra fused reduce) saves downstream
-    # per-edge position gathers in the conv basis and pool-cell mapping
     R = radius
     assert 2 * R < 64, "cell code packs (dx+R) in 6 bits"
     cell_code = (offs[:, 0] + R) + 64 * (offs[:, 1] + R)
-    src_flat, any_hit, code_sel = _select_first_k(
-        cnt, cnt_hi, order, K, M, cell_code)
-    src = src_flat - jnp.repeat(
-        jnp.arange(B, dtype=jnp.int32) * N, N)[:, None]
-    valid = any_hit & mask.reshape(M)[:, None]
+    mask_f = mask.reshape(M)
+    x_f, y_f, t_f = x.reshape(M), y.reshape(M), t.reshape(M)
+
+    def sort_core(_):
+        """Exact one-shot lex merge join — the round-2/3 formulation
+        (~25 ms at flagship scale, BENCH_NOTES.md sec 1).  Round 5 made
+        it the FALLBACK branch of a lax.cond: the slab FIFO fast path
+        below covers the common window and trips back here whenever its
+        depth-Q view could differ (deep-in-dt flag / hot pixel over the
+        queue cap), so the result is bit-identical either way."""
+        b_ids = jnp.arange(B, dtype=jnp.int32)[:, None]
+        lin = jnp.where(mask, b_ids * HW + y * width + x, PAD)   # [B, N]
+        lin_f = lin.reshape(M)
+
+        # stable sort by pixel: within a pixel, slot order == time order
+        order = jnp.argsort(lin_f, stable=True).astype(jnp.int32)   # [M]
+
+        # per-pixel event counts (cap check) + segment ENDS (queue cap)
+        hist = jnp.zeros(B * HW + 1, jnp.int32).at[lin_f].add(
+            mask_f.astype(jnp.int32))
+
+        # candidate pixels: [M, S]
+        xn = x_f[:, None] + offs[None, :, 0]
+        yn = y_f[:, None] + offs[None, :, 1]
+        inb = (
+            (xn >= 0) & (xn < width) & (yn >= 0) & (yn < height)
+            & mask_f[:, None]
+        )
+        bq = jnp.repeat(jnp.arange(B, dtype=jnp.int32), N)[:, None]
+        qpix = jnp.where(inb, bq * HW + yn * width + xn, PAD)    # [M, S]
+
+        # ---- lex merge join over (pixel, time, tie) ------------------
+        # Three record types in ONE sort (keys: pixel, time, tie;
+        # +payload):
+        #   insert_j at (lin_j, t_j)      — a data event entering the
+        #                                    queue
+        #   expire_j at (lin_j, t_j + dt) — the same event leaving the
+        #                                    dt window (t_j < t_e - dt
+        #                                    <=> t_j + dt < t_e)
+        #   query_(e,s) at (qpix, t_e)    — one per spiral cell
+        # Per-pixel insert/expire totals are equal, so the cross-pixel
+        # terms of the two global prefix sums cancel and, at a query,
+        #   prefix_insert = global data position (pixel-major) of t_e
+        #   prefix_insert - prefix_expire = #data within the dt window.
+        # This halves the sorted records vs. emitting a second query
+        # stream for the dt bound and kills the per-event dt bisect.
+        # Tie order at equal (pixel, time): inserts with smaller slot ->
+        # query e -> everything else; the dt window is inclusive
+        # (reference: ev_graph.cu:64-66), so expire(t_j+dt == t_e) sorts
+        # AFTER the query via tie = 2M + slot.
+        e_flat = jnp.arange(M, dtype=jnp.int32)
+        pix_all = jnp.concatenate([lin_f, lin_f, qpix.reshape(-1)])
+        t_all = jnp.concatenate([
+            t_f, t_f + delta_t_us, jnp.repeat(t_f, S),
+        ])
+        tie_all = jnp.concatenate([
+            e_flat * 2 + 1,                      # insert: odd, < 2M
+            e_flat + np.int32(2 * M),            # expire: >= 2M
+            jnp.repeat(e_flat, S) * 2,           # query:  even, < 2M
+        ])
+        payload = jnp.arange(pix_all.shape[0], dtype=jnp.int32)
+        _, _, tie_s, pay_s = jax.lax.sort(
+            (pix_all, t_all, tie_all, payload), num_keys=3)
+        is_exp = (tie_s >= np.int32(2 * M)).astype(jnp.int32)
+        is_ins = (tie_s & 1) * (1 - is_exp)
+        pref_ins = jnp.cumsum(is_ins, dtype=jnp.int32) - is_ins
+        pref_exp = jnp.cumsum(is_exp, dtype=jnp.int32) - is_exp
+        # unsort via kv sort (scatter is slower on this backend); when
+        # both prefixes fit 16 bits they ride one uint32 word so the
+        # unsort is a single 2-operand sort
+        if M < (1 << 16):
+            packed = (pref_ins.astype(jnp.uint32) << 16) \
+                | pref_exp.astype(jnp.uint32)
+            _, packed_u = jax.lax.sort((pay_s, packed), num_keys=1)
+            pq = packed_u[2 * M:]
+            cnt_hi = (pq >> 16).astype(jnp.int32).reshape(M, S)
+            cnt_t = (pq & 0xFFFF).astype(jnp.int32).reshape(M, S)
+        else:
+            _, ins_u, exp_u = jax.lax.sort(
+                (pay_s, pref_ins, pref_exp), num_keys=1)
+            cnt_hi = ins_u[2 * M:].reshape(M, S)
+            cnt_t = exp_u[2 * M:].reshape(M, S)
+
+        # queue cap: only bites when some pixel holds > queue_size
+        # events in the window (hot pixels); skip the [M, S] table
+        # gather otherwise
+        def with_cap(_):
+            seg_end_table = jnp.cumsum(hist[:-1], dtype=jnp.int32)
+            g_hi = _take(seg_end_table, jnp.clip(qpix, 0, B * HW - 1))
+            return jnp.where(inb, g_hi, 0) - queue_size
+
+        cap_lo = jax.lax.cond(
+            hist[:-1].max() > queue_size, with_cap,
+            lambda _: jnp.zeros_like(cnt_t), operand=None)
+        lo = jnp.maximum(cap_lo, cnt_t)
+        cnt = jnp.where(inb, jnp.maximum(cnt_hi - lo, 0), 0)     # [M, S]
+
+        src_flat, any_hit, code_sel = _select_first_k(
+            cnt, cnt_hi, order, K, M, cell_code)
+        src = src_flat - jnp.repeat(
+            jnp.arange(B, dtype=jnp.int32) * N, N)[:, None]
+        return src, any_hit, code_sel
+
+    # ---- slab FIFO fast path (fast_path="slab") -------------------------
+    # The window rides the serving engine's packed-slab formulation
+    # (graph/slab.py) as a lax.scan of insert-then-search chunks: the
+    # per-pixel FIFO table evolves chunk by chunk (so each event's
+    # depth-Q view reflects its own insertion time — a single
+    # window-end table was measured to trip the deep flag on every
+    # clustered window), per-sample vids fit uint16 natively, and the
+    # dt bound is one small per-sample merge join over the time-sorted
+    # events.  Replaces the merge join's 4.15M-record sort + unsort
+    # pair (~22 ms at flagship scale).  Exactness: any event whose
+    # depth-Q table view could hide an in-dt candidate trips the deep
+    # flag and the whole window falls back to sort_core via lax.cond
+    # (with queue_size >= Q the flag subsumes the reference queue cap:
+    # a candidate at depth >= Q is either out-of-dt below a
+    # below-threshold row[Q-1] or flagged), so the selection stays
+    # bit-identical to graph/reference.py unconditionally.
+    if fast_path == "slab" and N < 0xFFFF and queue_size >= _SLAB_Q:
+        geom = make_geom(height, width, R, 8, offs)
+        Q = _SLAB_Q
+        Hp, Wp = height + 2 * R, geom.Wbp
+        NROW = B * Hp * Wp
+        CH = min(chunk if chunk > 0 else 8192, N)
+        nc = -(-N // CH)
+        Npad = nc * CH
+
+        # dt lower bound as a vid threshold (events are time-sorted per
+        # sample): vmin_e = #same-sample events with t < t_e - dt, via
+        # one (sample, time, tie) merge join; a query at t == t_ins
+        # sorts FIRST (inclusive dt window, ev_graph.cu:64-66).
+        # Invalid inserts ride t=+BIG so they never precede a valid
+        # query of their own sample yet keep each sample's insert count
+        # at exactly N for the cross-sample offset.
+        b_of_e = jnp.repeat(jnp.arange(B, dtype=jnp.int32), N)
+        t_big = np.int32(2 ** 30)
+        t_ins = jnp.where(mask_f, t_f, t_big)
+        sb_all = jnp.concatenate([b_of_e, b_of_e])
+        tt_all = jnp.concatenate([t_ins, t_f - delta_t_us])
+        tie2 = jnp.concatenate([
+            jnp.ones((M,), jnp.int32), jnp.zeros((M,), jnp.int32)])
+        pay2 = jnp.arange(2 * M, dtype=jnp.int32)
+        _, _, tie2_s, pay2_s = jax.lax.sort(
+            (sb_all, tt_all, tie2, pay2), num_keys=3)
+        pref2 = jnp.cumsum(tie2_s, dtype=jnp.int32) - tie2_s
+        _, pref2_u = jax.lax.sort((pay2_s, pref2), num_keys=1)
+        vmin = (pref2_u[M:] - b_of_e * N).reshape(B, N)          # [B, N]
+
+        def chunked(a, fill):
+            """[B, N] -> [nc, B, CH] chunk-major scan inputs."""
+            if Npad > N:
+                pad = jnp.full((B, Npad - N), fill, a.dtype)
+                a = jnp.concatenate([a, pad], axis=1)
+            return a.reshape(B, nc, CH).transpose(1, 0, 2)
+
+        vid_bn = jnp.broadcast_to(
+            jnp.arange(N, dtype=jnp.int32)[None], (B, N))
+        inputs = (chunked(x, 0), chunked(y, 0), chunked(t, 0),
+                  chunked(mask, False), chunked(vid_bn, 0),
+                  chunked(vmin, 0))
+        Ec = B * CH
+        b_of_c = jnp.repeat(jnp.arange(B, dtype=jnp.int32), CH)
+        qs = jnp.arange(Q, dtype=jnp.int32)
+
+        def chunk_step(table, inp):
+            xc, yc, tc, mc, vc, vmc = (a.reshape(Ec) for a in inp)
+            # FIFO insert (whole chunk first: insert-then-search,
+            # ev_graph.cu:130-166): one row-gather + one one-hot-dot
+            # shift + one row-scatter per touched pixel
+            spix = jnp.where(
+                mc, b_of_c * (Hp * Wp) + (yc + R) * Wp + (xc + R),
+                np.int32(NROW))
+            idx_e = jnp.arange(Ec, dtype=jnp.int32)
+            sp_s, _, vid_s = jax.lax.sort((spix, idx_e, vc), num_keys=2)
+            first = jnp.concatenate(
+                [jnp.ones((1,), bool), sp_s[1:] != sp_s[:-1]])
+            is_last = jnp.concatenate(
+                [sp_s[1:] != sp_s[:-1], jnp.ones((1,), bool)])
+            run_start = jax.lax.associative_scan(
+                jnp.maximum, jnp.where(first, idx_e, 0))
+            ecnt = jnp.minimum(idx_e - run_start + 1, Q)
+            take_new = qs[None, :] < ecnt[:, None]
+            got = fifo_payload([vid_s.astype(jnp.uint16)], Q)[..., 0]
+            orow = jnp.take_along_axis(
+                table, jnp.clip(sp_s, 0, NROW - 1)[:, None], axis=0)
+            old = fifo_shift(orow, ecnt, Q)[..., 0]
+            new_row = jnp.where(take_new, got, old)
+            target = jnp.where(is_last, sp_s, np.int32(NROW))
+            table = table.at[target].set(new_row, mode="drop")
+
+            rows, align = packed_gather(geom, table, B, Q, xc, yc, b_of_c)
+            rows = jax.lax.optimization_barrier(rows)
+            hit, code, picked, miss, _ = packed_select(
+                geom, rows, vc, vmc, mc, align, Q=Q, K=K,
+                sent=int(_SLAB_SENT))
+            return table, (picked, hit, code, jnp.any(miss))
+
+        table0 = jnp.full((NROW, Q), _SLAB_SENT)
+        _, (picked_s, hit_s, code_s, miss_s) = jax.lax.scan(
+            chunk_step, table0, inputs)
+
+        def unchunk(a):
+            """[nc, B*CH, K-1] -> [M, K-1] original event order."""
+            a = a.reshape(nc, B, CH, K - 1).transpose(1, 0, 2, 3)
+            return a.reshape(B, Npad, K - 1)[:, :N].reshape(M, K - 1)
+
+        ok = jnp.logical_not(jnp.any(miss_s))
+        src, any_hit, code_sel = jax.lax.cond(
+            ok,
+            lambda _: (unchunk(picked_s), unchunk(hit_s),
+                       unchunk(code_s)),
+            sort_core, operand=None)
+    else:
+        src, any_hit, code_sel = sort_core(None)
+    valid = any_hit & mask_f[:, None]
 
     nbr_rest = jnp.where(valid, src, 0).reshape(B, N, K - 1)
     mask_rest = valid.reshape(B, N, K - 1)

@@ -90,6 +90,8 @@ from dagr_tpu.config import DagrConfig
 from dagr_tpu.core.types import EventGraph, NodeSet, GRID_OFFSETS
 from dagr_tpu.graph.build import _select_first_k, _take
 from dagr_tpu.graph.reference import spiral_offsets
+from dagr_tpu.graph.slab import (
+    fifo_payload, fifo_shift, make_geom, packed_select)
 from dagr_tpu.models.blocks import activation_fn
 from dagr_tpu.models.functional import bn_eval, layer_eval, scale_head_eval
 from dagr_tpu.ops.pool import pool_nodeset
@@ -281,15 +283,13 @@ class MultiStreamServer:
         # padded width AND leave room for the rightmost window start
         self.pack = slab_pack
         if slab_pack > 1:
-            self.xb = 1 + -(-2 * R // slab_pack)
-            self.Wb = max(-(-(width + 2 * R) // slab_pack),
-                          (width - 1) // slab_pack + self.xb)
-            self.Wbp = self.Wb * slab_pack
-            # spiral-ordered static sub-row base: alignment a = x % pack
-            # is added per event
-            self.idx0_spiral = (
-                (offs[:, 1] + R) * (self.xb * slab_pack)
-                + (offs[:, 0] + R)).astype(np.int32)
+            # shared packed-slab geometry + selection math (also the
+            # sync builder's fast path — graph/slab.py)
+            self.geom = make_geom(height, width, R, slab_pack, offs)
+            self.xb = self.geom.xb
+            self.Wb = self.geom.Wb
+            self.Wbp = self.geom.Wbp
+            self.idx0_spiral = self.geom.idx0_spiral
         else:
             self.Wbp = width + 2 * R
         # benchmarking aid: early-exit the step after a named stage
@@ -486,73 +486,15 @@ class MultiStreamServer:
     # ------------------------------------------------------------------
     @staticmethod
     def _chunk_fifo_payload(cols, Q):
-        """New-slot payload columns for the chunk FIFO push:
-        ``out[i, q, j] = cols[j][max(i - q, 0)]`` over the pixel-sorted
-        event order — i.e. slot q of row i holds the q-th-newest event
-        of its pixel run (``take_new`` masks slots beyond the run).
-
-        The direct form is an E*Q minor-axis width-1 gather (measured
-        ~6x slower than slices on this backend — CLAUDE.md); since the
-        index map is a pure SHIFT, pad each column once and take Q
-        static slices instead (~13.8 -> ~9.8 ms insert stage at
-        slabv S=8 c8192, bench_serve.py)."""
-        E = cols[0].shape[0]
-        outs = []
-        for v in cols:
-            vp = jnp.concatenate([jnp.broadcast_to(v[:1], (Q - 1,)), v])
-            outs.append(jnp.stack(
-                [jax.lax.slice_in_dim(vp, Q - 1 - q, Q - 1 - q + E)
-                 for q in range(Q)], axis=1))
-        return jnp.stack(outs, axis=-1)               # [E, Q, len(cols)]
+        """Shared with the sync slab builder — see
+        ``graph.slab.fifo_payload``."""
+        return fifo_payload(cols, Q)
 
     @staticmethod
     def _fifo_shift(orow, ecnt, Q):
-        """Shift a gathered FIFO row down by ``ecnt`` slots (the CUDA
-        queue push, ev_graph.cu:130-166) and return the shifted
-        payload columns ``[E, Q, NP]`` (NP = payloads per slot).
-
-        Minor-axis ``take_along_axis`` at this shape measures 503
-        ns/event on this backend vs 13 ns/event for a one-hot
-        ``dot_general`` (scripts/microbench5.py) — so the shift rides
-        the MXU.  int32 payloads are split into 16-bit halves before
-        the f32 dot (each half < 2**16 is exactly representable and the
-        one-hot contraction sums a single term), so the transport is
-        exact over the FULL int32 range incl. sentinels."""
-        E = orow.shape[0]
-        NP = orow.shape[1] // Q
-        qs = jnp.arange(Q, dtype=jnp.int32)
-        oshift = jnp.clip(qs[None, :] - ecnt[:, None], 0, Q - 1)
-        oh = (oshift[:, :, None] == qs[None, None, :]).astype(jnp.float32)
-        r = orow.reshape(E, NP, Q)
-        if orow.dtype == jnp.uint16:
-            # uint16 payloads are < 2^16: one f32 column per payload is
-            # exact under Precision.HIGH (integer transport through the
-            # bf16-split dot is exact to ~2^17 — round-4 advisor; all
-            # u16 values sit safely below) with no hi/lo split — half
-            # the dot
-            picked = jax.lax.dot_general(
-                oh, r.astype(jnp.float32),
-                dimension_numbers=(((2,), (2,)), ((0,), (0,))),
-                precision=jax.lax.Precision.HIGH,
-                preferred_element_type=jnp.float32)          # [E, Q, NP]
-            return picked.astype(jnp.uint16)
-        hi = jax.lax.shift_right_arithmetic(r, 16).astype(jnp.float32)
-        lo = (r & 0xFFFF).astype(jnp.float32)
-        parts = jnp.concatenate([hi, lo], axis=1)            # [E, 2*NP, Q]
-        # Precision >= HIGH is REQUIRED for exactness: the TPU default
-        # runs f32 dots as single-pass bf16 (8 mantissa bits), which
-        # rounds any 16-bit half >= 256 — the long-stream staleness
-        # certificate caught exactly this (diag_serve_cover.py).  HIGH
-        # represents integers exactly to ~2^17 (round-4 advisor bound;
-        # each 16-bit half is < 2^16) and the one-hot contraction sums
-        # a single term, so the transport is exact at half HIGHEST's
-        # cost
-        picked = jax.lax.dot_general(
-            oh, parts, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
-            precision=jax.lax.Precision.HIGH,
-            preferred_element_type=jnp.float32)              # [E, Q, 2*NP]
-        picked = picked.astype(jnp.int32)
-        return (picked[..., :NP] << 16) | picked[..., NP:]   # [E, Q, NP]
+        """Shared with the sync slab builder — see
+        ``graph.slab.fifo_shift``."""
+        return fifo_shift(orow, ecnt, Q)
 
     # ------------------------------------------------------------------
     # search_mode == "queue": per-pixel FIFO rows + wide row-gathers
@@ -758,127 +700,50 @@ class MultiStreamServer:
         return any_hit, code_sel, src_vid, cover, None
 
     def _pick_neighbors_packed(self, rows, vid_f, cv, vmin, base, align):
-        """First-(K-1) selection from a PACKED slab fetch (v16 payload).
-
-        ``rows`` is ``[E, NC, Q]`` uint16 rel-vids over NC =
-        (2R+1)*xb*pack sub-rows; event ``e``'s spiral cell ``i`` lives
-        at sub-row ``idx0_spiral[i] + align[e]`` (alignment-affine, see
-        __init__).  Primitive choice is everything here
-        (scripts/microbench10.py): any per-event minor-axis
-        ``take_along_axis`` over the sub-row axis is catastrophic
-        (58-100 ms/step), so
-
-        * per-cell reductions (candidate count, first-older, deep
-          flag) run alignment-obliviously over ALL sub-rows (the extra
-          non-neighborhood sub-rows never enter selection or coverage),
-        * the reduced [E, n_dy, WW, 3] block is alignment-normalized by
-          binary-decomposed CONDITIONAL ROLLS (log2(pack) elementwise
-          select passes over the small reduced array — never over the
-          Q-deep rows),
-        * the transport dot carries the selected sub-row index
-          ``j_sel`` as a fourth column, and
-        * the selected values ride one iota-compare one-hot
-          ``dot_general`` over the NC axis (MXU, exact at HIGH for
-          values < ~2^17, round-4 advisor bound — the _fifo_shift
-          pattern; every transported quantity here is < 2^16).
+        """First-(K-1) selection from a PACKED slab fetch — thin
+        payload-space adapter over ``graph.slab.packed_select`` (the
+        shared measured-best formulation; see its docstring and
+        scripts/microbench10/13b/13c/13d.py for the primitive-choice
+        evidence).  ``rows`` is ``[E, NC, Q]`` uint16 rel-vids (v16
+        payload, ``base`` set) or int32 vids ('v' payload); event
+        ``e``'s spiral cell ``i`` lives at sub-row ``idx0_spiral[i] +
+        align[e]`` (alignment-affine, see graph/slab.py).
 
         Same selection contract as the builder (ev_graph.cu:48-77):
         spiral cell order x FIFO recency, dt via the vid threshold
         ``vmin``."""
         Q = self.Q
         K = self.cfg.max_neighbors
-        E, NC = rows.shape[0], rows.shape[1]
-        R = self.radius
-        n_dy = 2 * R + 1
-        WW = self.xb * self.pack
+        E = rows.shape[0]
         cvE = cv.reshape(E)
         # one materialization of the gathered slab: without the barrier
         # XLA may duplicate the gather into each consumer fusion
         rows = jax.lax.optimization_barrier(rows)
         if base is None:
-            # 'v' payload: i32 vids, sentinel already -1, global space
-            v = rows
-            vid_rel, vmin_rel = vid_f, vmin
+            # 'v' payload: i32 vids, sentinel already -1, global space.
+            # The transport dot carries clipped vid DELTAS (raw i32
+            # vids grow without bound on long streams while HIGH
+            # integer transport is only exact to ~2^17; winning deltas
+            # are <= NR + chunk, asserted < 2^17 in __init__)
+            ve, vm = vid_f, vmin
+            fetch = jnp.clip(ve[:, None, None] - rows,
+                             -DV_CLIP, DV_CLIP).astype(jnp.float32)
+            sent = None
         else:
-            # rel space: payload entries are < 2P < 2^16; sentinel -> -1
-            v = jnp.where(rows == self.REL_SENT, jnp.int32(-1),
-                          rows.astype(jnp.int32))
-            vid_rel = vid_f - base
-            vmin_rel = vmin - base      # >= 0 (count semantics + rebase)
-        ve = vid_rel[:, None, None]
-        cand = (v >= vmin_rel[:, None, None]) & (v >= 0) & (v < ve)
-        cnt_nc = jnp.sum(cand, axis=-1).astype(jnp.int32)
-        fo_nc = jnp.sum(v >= ve, axis=-1)
-        deep_nc = v[..., Q - 1] >= vmin_rel[:, None]
-        trio = jnp.stack(
-            [cnt_nc, fo_nc, deep_nc.astype(jnp.int32)], axis=-1)
-        trio = trio.reshape(E, n_dy, WW, 3)
-        # left-shift the packed-x axis by align (valid because align +
-        # dx + R <= pack - 1 + 2R < WW, so used positions never wrap)
-        sh = 1
-        while sh < self.pack:
-            bit = (align & sh) != 0
-            trio = jnp.where(bit[:, None, None, None],
-                             jnp.roll(trio, -sh, axis=2), trio)
-            sh <<= 1
-        trio_rm = trio[:, :, :n_dy, :].reshape(E, n_dy * n_dy, 3)
-        trio_sp = trio_rm[:, jnp.asarray(self.rm_of_spiral, jnp.int32)]
-        cnt_sp = trio_sp[..., 0]
-        fo_sp = trio_sp[..., 1]
-        miss = trio_sp[..., 2].astype(bool) & cvE[:, None]
-        cover = ~jnp.any(miss)
+            # rel space: payload entries are < 2P < 2^16; uint16
+            # compares + raw rel-vid transport (exact at HIGH)
+            ve, vm = vid_f - base, vmin - base
+            fetch = None
+            sent = int(self.REL_SENT)
         if self.bench_stage == "search":
-            return None, None, None, cover, (cnt_sp, fo_sp)
-        cum = jnp.cumsum(cnt_sp, axis=-1)
-        ks = jnp.arange(K - 1, dtype=jnp.int32)
-        at_sel = jnp.logical_not(cum[:, :, None] <= ks) \
-            & ((cum - cnt_sp)[:, :, None] <= ks)
-        any_hit = (cum[:, -1:] > ks) & cvE[:, None]
-        # 4-col transport dot: every value < 2^16, so Precision.HIGH
-        # (bf16x3) is exact; at_sel is one-hot over cells per k
-        jcol = (jnp.asarray(self.idx0_spiral, jnp.float32)[None, :]
-                + align[:, None].astype(jnp.float32))
-        cols = jnp.stack([
-            fo_sp.astype(jnp.float32),
-            jnp.broadcast_to(
-                jnp.asarray(self.cell_code, jnp.float32)[None, :],
-                (E, self.NS)),
-            (cum - cnt_sp).astype(jnp.float32),
-            jcol,
-        ], axis=2)                                             # [E, NS, 4]
-        picked = jax.lax.dot_general(
-            at_sel.astype(jnp.float32), cols,
-            dimension_numbers=(((1,), (1,)), ((0,), (0,))),
-            precision=jax.lax.Precision.HIGH,
-            preferred_element_type=jnp.float32)                # [E, K-1, 4]
-        fo_sel = picked[..., 0].astype(jnp.int32)
-        code_sel = picked[..., 1].astype(jnp.int32)
-        cum_prev = picked[..., 2].astype(jnp.int32)
-        j_sel = picked[..., 3].astype(jnp.int32)
-        # selected FIFO rows by iota-compare one-hot dot over NC.  The
-        # v16 payload transports raw rel vids (< 2^16, exact at HIGH);
-        # the 'v' payload transports clipped vid DELTAS instead (raw
-        # raw i32 vids grow without bound on long streams while HIGH
-        # integer transport is only exact to ~2^17; winning deltas are
-        # <= NR + chunk, asserted < 2^17 in __init__ — same contract as
-        # the unpacked path)
-        oh_j = (jnp.arange(NC, dtype=jnp.int32)[None, None, :]
-                == j_sel[:, :, None]).astype(jnp.float32)      # [E,K-1,NC]
-        if base is None:
-            fetch = jnp.clip(vid_rel[:, None, None] - v,
-                             -DV_CLIP, DV_CLIP)
-        else:
-            fetch = v
-        rowv = jax.lax.dot_general(
-            oh_j, fetch.astype(jnp.float32),
-            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-            precision=jax.lax.Precision.HIGH,
-            preferred_element_type=jnp.float32)                # [E,K-1,Q]
-        depth = jnp.clip(fo_sel + ks[None, :] - cum_prev, 0, Q - 1)
-        oh = jnp.arange(Q, dtype=jnp.int32)[None, None, :] \
-            == depth[..., None]
-        picked_v = jnp.sum(jnp.where(oh, rowv, 0.0), axis=-1
-                           ).astype(jnp.int32)
+            _, _, _, miss, chk = packed_select(
+                self.geom, rows, ve, vm, cvE, align, Q=Q, K=K,
+                sent=sent, counts_only=True)
+            return None, None, None, ~jnp.any(miss), chk
+        any_hit, code_sel, picked_v, miss, _ = packed_select(
+            self.geom, rows, ve, vm, cvE, align, Q=Q, K=K, sent=sent,
+            fetch=fetch)
+        cover = ~jnp.any(miss)
         if base is None:
             src_vid = vid_f[:, None] - picked_v
         else:

@@ -1,7 +1,10 @@
 """Honest graph-build timing on the real chip: T iterations inside one
 jit over distinct event windows (defeats tunnel overhead + memoization).
 
-Run: python scripts/bench_build.py
+Run: python scripts/bench_build.py [fast_path] [chunk]
+  fast_path: "sort" (default, one-shot lex merge join) or "slab"
+             (round-5 chunked FIFO fast path, graph/slab.py)
+  chunk:     slab-path chunk size (default 8192)
 """
 import os
 import sys
@@ -31,9 +34,12 @@ def main():
     pos = jnp.stack([e.pos_px() for e in evs])    # [T, 1, N, 3]
     msk = jnp.stack([e.mask for e in evs])
 
+    fast_path = sys.argv[1] if len(sys.argv) > 1 else "sort"
+    chunk = int(sys.argv[2]) if len(sys.argv) > 2 else 0
     kw = dict(width=W, height=H, radius=cfg.radius_px(W),
               delta_t_us=cfg.delta_t_us(), max_neighbors=cfg.max_neighbors,
-              queue_size=cfg.max_queue_size)
+              queue_size=cfg.max_queue_size, fast_path=fast_path,
+              chunk=chunk)
 
     def run(pos, msk, bump):
         def step(c, pm):
@@ -64,6 +70,7 @@ def main():
         _ = np.asarray(out[0])
         ts.append(time.perf_counter() - t0)
     per = (min(ts) - ovh) / T * 1e3
+    print(f"fast_path={fast_path} chunk={chunk}")
     print(f"overhead {ovh*1e3:.1f} ms; build_graph {per:.2f} ms/window "
           f"({NV/per/1e3:.2f} Mev/s), edges/window ~{int(np.asarray(out[1])[0])}")
 

@@ -95,6 +95,40 @@ def test_matches_oracle_large_m_unsort_branch():
         np.where(mask_ref, nbr_ref, 0))
 
 
+@pytest.mark.parametrize("chunk", [0, 300, 256])
+def test_slab_fast_path_and_deep_fallback(chunk):
+    """The round-5 chunked slab FIFO fast path (build.py +
+    graph/slab.py) and its lax.cond fallback must BOTH be bit-identical
+    to the oracle.  The spread case keeps every pixel under the slab
+    depth (Q=16) per chunk so the fast path's result is the one
+    returned; the hot case plants one pixel with >16 in-dt events
+    inside one chunk so the deep flag trips the exact sort_core
+    fallback.  chunk=300/256 covers the cross-chunk table evolution
+    (events whose neighbors live in earlier chunks; 256 leaves a
+    padded remainder chunk).  The queue-cap regime (queue_size < slab
+    Q) is routed to the sort path at trace time and exercised by
+    test_matches_oracle's Q=4/8 cases."""
+    rng = np.random.default_rng(11)
+    W, H, T = 48, 36, 20000
+    K, radius, delta_t = 16, 3, 5000
+    B, N = 2, 900
+    pos, mask = random_events(rng, B, N, W, H, T, n_valid=800)
+    for case in ("spread", "hot"):
+        p = pos.copy()
+        if case == "hot":
+            p[0, 100:124, 0] = 7
+            p[0, 100:124, 1] = 9
+        nbr_ref, mask_ref = build_graph_dense(
+            p, mask, W, H, radius, delta_t, K)
+        g = build_graph(p, mask, width=W, height=H, radius=radius,
+                        delta_t_us=delta_t, max_neighbors=K,
+                        fast_path="slab", chunk=chunk)
+        np.testing.assert_array_equal(np.asarray(g.nbr_mask), mask_ref)
+        np.testing.assert_array_equal(
+            np.where(mask_ref, np.asarray(g.nbr), 0),
+            np.where(mask_ref, nbr_ref, 0))
+
+
 def test_invariants():
     rng = np.random.default_rng(7)
     B, N, W, H, T = 1, 500, 32, 24, 10000
