@@ -88,6 +88,12 @@ class DagrConfig:
     stream_chunk: int = 1024
     # node chunk for the spline-conv edge pipeline (bounds VMEM/HBM use)
     node_chunk: int = 2048
+    # sync graph-builder formulation: "slab" rides the packed per-pixel
+    # FIFO fast path (graph/slab.py; 5.6 vs 22.4 ms/window measured at
+    # flagship scale) with a lax.cond fallback to the exact sort-merge
+    # join whenever a depth-Q view could differ, so the result is
+    # bit-identical either way; "sort" forces the one-shot merge join
+    graph_fast_path: str = "slab"
 
     def replace(self, **kw) -> "DagrConfig":
         return dataclasses.replace(self, **kw)

@@ -67,6 +67,7 @@ class Net(nn.Module):
                 delta_t_us=cfg.delta_t_us(),
                 max_neighbors=cfg.max_neighbors,
                 queue_size=cfg.max_queue_size,
+                fast_path=getattr(cfg, "graph_fast_path", "sort"),
             )
 
         ns = NodeSet(
