@@ -139,7 +139,9 @@ class MultiStreamServer:
                  n_streams: int, chunk: int, search_mode: str = "sort",
                  queue_depth: int = 16, ring: Optional[int] = None,
                  tail_every: int = 1, queue_payload: str = "vt",
-                 window_mode: str = "grow", slab_pack: int = 1):
+                 window_mode: str = "grow", slab_pack: int = 1,
+                 pol_payload: Optional[bool] = None,
+                 feat_values: Tuple[float, float] = (0.0, 1.0)):
         assert search_mode in ("sort", "queue", "slab")
         # slab_pack > 1: pack that many x-adjacent pixels per slab table
         # row.  The slab slice gather costs per gathered ROW, not per
@@ -259,6 +261,36 @@ class MultiStreamServer:
                 "NR + chunk through a Precision.HIGH one-hot dot, which "
                 "is exact only below ~2^17; shrink ring/chunk or use "
                 "hi/lo 16-bit split transport")
+        # ---- polarity-in-payload (round 5) ---------------------------
+        # conv_block1's SOURCE features are (feat, px, py); (px, py)
+        # are algebraic from the edge code (the sync path's nbr_dpos
+        # trick) and feat is ONE BIT (binary polarity), so packing that
+        # bit below the payload vid (slot = 2*vid_or_rel + pol) removes
+        # conv1's E*K-row source gather entirely: every candidacy
+        # compare works with doubled thresholds (the pol bit sits below
+        # the vid ordering), the packed value rides the existing
+        # selection transport, and the xin ring disappears from the
+        # state.  Contract: chunk_feat must be binary with the two
+        # static ``feat_values`` (certified per step in coverage_ok).
+        self.feat_values = (float(feat_values[0]), float(feat_values[1]))
+        pol_ok = (search_mode == "slab" and slab_pack > 1
+                  and queue_payload in ("v", "v16"))
+        if pol_ok and queue_payload == "v16":
+            # packed entries are 2*rel + pol <= 4P - 1; they must stay
+            # below the uint16 sentinel (0xFFFF).  P == NR is a chunk
+            # multiple, so e.g. chunk 8192 (P 16384) misses by one —
+            # use chunk 8160 (P 16320) for the pol-packed family.
+            pol_ok = 4 * self.P <= 2 ** 16 - 2
+        if pol_ok and queue_payload == "v":
+            # transported selected values are 2*dv + 1 <= 2*(NR+chunk)+1
+            pol_ok = 2 * (self.NR + chunk) + 1 < 2 ** 17
+        if pol_payload is None:
+            pol_payload = pol_ok
+        assert not (pol_payload and not pol_ok), (
+            "pol_payload needs the slab search with packed rows, a "
+            "vid-only payload, and vid headroom for the polarity bit "
+            "(v16: 4*P <= 2^16-2; v: 2*(NR+chunk)+1 < 2^17)")
+        self.pol_payload = bool(pol_payload)
         ch = cfg.channels()
         self.c1 = ch[1]
         self.grids = cfg.grid_shapes()
@@ -354,7 +386,11 @@ class MultiStreamServer:
             )
         return ServeState(
             num=jnp.zeros((), jnp.int32),
-            xin=jnp.zeros((S, NR, 3), jnp.float32),
+            # pol_payload reconstructs conv1 sources algebraically —
+            # the xin ring is never read, so carry a 0-dim dummy (a
+            # scalar stays replicated under serve_state_spec)
+            xin=(jnp.zeros((), jnp.float32) if self.pol_payload
+                 else jnp.zeros((S, NR, 3), jnp.float32)),
             x1=jnp.zeros((S, NR, self.c1), jnp.float32),
             cell_cnt=jnp.zeros((S, G1), jnp.int32),
             pos_sum=jnp.zeros((S, G1, 3), jnp.float32),
@@ -367,9 +403,10 @@ class MultiStreamServer:
     # ------------------------------------------------------------------
     # search_mode == "sort": ring + insert/expire lex merge join
     # ------------------------------------------------------------------
-    def _search_sort(self, state: ServeState, x, y, t, cv, vid_f):
+    def _search_sort(self, state: ServeState, x, y, t, cv, vid_f,
+                     pol=None):
         """Returns (state', src_tab [E, K-1] flat ring slots for feature
-        gathers, any_hit, code_sel, src_vid, cover)."""
+        gathers, any_hit, code_sel, src_vid, pol_sel, cover, chk)."""
         cfg = self.cfg
         S, C, NR = self.S, self.chunk, self.NR
         W, H = self.width, self.height
@@ -475,13 +512,15 @@ class MultiStreamServer:
                         jnp.maximum(cnt_hi - lo, 0), 0)
 
         if self.bench_stage == "search":
-            return state, None, None, None, None, cover, (cnt, cnt_hi)
+            return (state, None, None, None, None, None, cover,
+                    (cnt, cnt_hi))
 
         src_tab, any_hit, code_sel = _select_first_k(
             cnt, cnt_hi, order, K, npts, self.cell_code)
         any_hit = any_hit & cv.reshape(E)[:, None]
         src_vid = _take(vid_ring, jnp.clip(src_tab, 0, npts - 1))
-        return state, src_tab, any_hit, code_sel, src_vid, cover, None
+        return (state, src_tab, any_hit, code_sel, src_vid, None,
+                cover, None)
 
     # ------------------------------------------------------------------
     @staticmethod
@@ -499,7 +538,8 @@ class MultiStreamServer:
     # ------------------------------------------------------------------
     # search_mode == "queue": per-pixel FIFO rows + wide row-gathers
     # ------------------------------------------------------------------
-    def _search_queue(self, state: ServeState, x, y, t, cv, vid_f):
+    def _search_queue(self, state: ServeState, x, y, t, cv, vid_f,
+                      pol=None):
         cfg = self.cfg
         S, C, Q, NR = self.S, self.chunk, self.Q, self.NR
         W, H = self.width, self.height
@@ -558,7 +598,7 @@ class MultiStreamServer:
         E = S * C
         K = self.cfg.max_neighbors
         if align is not None:
-            any_hit, code_sel, src_vid, cover_d, chk = \
+            any_hit, code_sel, src_vid, pol_sel, cover_d, chk = \
                 self._pick_neighbors_packed(
                     rows, vid_f, cv, vmin=vmin, base=base, align=align)
         else:
@@ -567,10 +607,11 @@ class MultiStreamServer:
             any_hit, code_sel, src_vid, cover_d, chk = self._pick_neighbors(
                 vid_g, t_g, t_f, vid_f, cv, row_major=row_major, vmin=vmin,
                 base=base)
+            pol_sel = None
         if evict_ok is not None:
             cover_d = cover_d & evict_ok          # t-ring eviction cert
         if self.bench_stage == "search":
-            return state, None, None, None, None, jnp.stack(
+            return state, None, None, None, None, None, jnp.stack(
                 [cover_d, jnp.ones((), bool)]), chk
         # feature-ring staleness certificate
         cover = jnp.stack([
@@ -580,7 +621,8 @@ class MultiStreamServer:
         s_base = (jnp.arange(S, dtype=jnp.int32) * NR)[:, None, None]
         src_tab = (s_base + (src_vid % NR).reshape(S, C, K - 1)
                    ).reshape(E, K - 1)
-        return state, src_tab, any_hit, code_sel, src_vid, cover, None
+        return (state, src_tab, any_hit, code_sel, src_vid, pol_sel,
+                cover, None)
 
     def _pick_neighbors(self, vid_g, t_g, t_f, vid_f, cv, row_major,
                         vmin=None, base=None):
@@ -716,6 +758,7 @@ class MultiStreamServer:
         K = self.cfg.max_neighbors
         E = rows.shape[0]
         cvE = cv.reshape(E)
+        pp = self.pol_payload
         # one materialization of the gathered slab: without the barrier
         # XLA may duplicate the gather into each consumer fusion
         rows = jax.lax.optimization_barrier(rows)
@@ -724,37 +767,59 @@ class MultiStreamServer:
             # The transport dot carries clipped vid DELTAS (raw i32
             # vids grow without bound on long streams while HIGH
             # integer transport is only exact to ~2^17; winning deltas
-            # are <= NR + chunk, asserted < 2^17 in __init__)
+            # are <= NR + chunk, asserted < 2^17 in __init__).
+            # pol_payload: slots hold 2*vid + pol — every compare keeps
+            # its meaning with DOUBLED thresholds (the pol bit sits
+            # below the vid ordering: 2v+p < 2ve <=> v < ve), and the
+            # transported delta becomes (2*ve + 1) - (2*v + p)
+            # = 2*dv + (1 - p), decoded by one shift
             ve, vm = vid_f, vmin
-            fetch = jnp.clip(ve[:, None, None] - rows,
-                             -DV_CLIP, DV_CLIP).astype(jnp.float32)
+            if pp:
+                ve, vm = 2 * ve, 2 * vm
+                fetch = jnp.clip((ve + 1)[:, None, None] - rows,
+                                 -DV_CLIP, DV_CLIP).astype(jnp.float32)
+            else:
+                fetch = jnp.clip(ve[:, None, None] - rows,
+                                 -DV_CLIP, DV_CLIP).astype(jnp.float32)
             sent = None
         else:
-            # rel space: payload entries are < 2P < 2^16; uint16
-            # compares + raw rel-vid transport (exact at HIGH)
+            # rel space: payload entries are < 2P (pol: < 4P) < 2^16;
+            # uint16 compares + raw value transport (exact at HIGH)
             ve, vm = vid_f - base, vmin - base
+            if pp:
+                ve, vm = 2 * ve, 2 * vm
             fetch = None
             sent = int(self.REL_SENT)
         if self.bench_stage == "search":
             _, _, _, miss, chk = packed_select(
                 self.geom, rows, ve, vm, cvE, align, Q=Q, K=K,
                 sent=sent, counts_only=True)
-            return None, None, None, ~jnp.any(miss), chk
+            return None, None, None, None, ~jnp.any(miss), chk
         any_hit, code_sel, picked_v, miss, _ = packed_select(
             self.geom, rows, ve, vm, cvE, align, Q=Q, K=K, sent=sent,
             fetch=fetch)
         cover = ~jnp.any(miss)
+        pol_sel = None
         if base is None:
+            if pp:
+                # picked_v = 2*dv + (1 - pol); selected entries have
+                # dv >= 1, so the decode shift never sees a negative
+                pol_sel = 1 - (picked_v & 1)
+                picked_v = picked_v >> 1
             src_vid = vid_f[:, None] - picked_v
         else:
+            if pp:
+                pol_sel = picked_v & 1
+                picked_v = picked_v >> 1
             src_vid = picked_v + base
         src_vid = jnp.where(any_hit, src_vid, 0)
-        return any_hit, code_sel, src_vid, cover, None
+        return any_hit, code_sel, src_vid, pol_sel, cover, None
 
     # ------------------------------------------------------------------
     # search_mode == "slab": padded FIFO table + one slice gather/event
     # ------------------------------------------------------------------
-    def _search_slab(self, state: ServeState, x, y, t, cv, vid_f):
+    def _search_slab(self, state: ServeState, x, y, t, cv, vid_f,
+                     pol=None):
         """FIFO search re-laid-out for the backend's slice gather: the
         queue table is padded to ``[S, H+2R, W+2R, 2Q]`` and ONE
         ``lax.gather`` slice per event fetches its entire spiral
@@ -779,7 +844,10 @@ class MultiStreamServer:
             # rebase period ago — see __init__'s payload note)
             P = np.int32(self.P)
             base = jnp.maximum(state.num // P - 1, 0) * P
-            Pu = np.uint16(self.P)
+            # pol_payload packs the polarity bit below the rel vid
+            # (slot = 2*rel + pol), so the rebase threshold/step double
+            # — the pol bit rides along unchanged
+            Pu = np.uint16(2 * self.P if self.pol_payload else self.P)
             queue_r = jax.lax.cond(
                 (state.num % P == 0) & (state.num >= 2 * P),
                 lambda q: jnp.where((q == self.REL_SENT) | (q < Pu),
@@ -793,8 +861,10 @@ class MultiStreamServer:
         spix = jnp.where(
             cv, s_hp + (y + R) * Wp + (x + R), NROW).reshape(E)
         idx_e = jnp.arange(E, dtype=jnp.int32)
-        sp_s, _, vid_s, t_s = jax.lax.sort(
-            (spix, idx_e, vid_f, t_f), num_keys=2)
+        pol_f = (pol.reshape(E).astype(jnp.int32)
+                 if self.pol_payload else jnp.zeros((E,), jnp.int32))
+        sp_s, _, vid_s, t_s, pol_s = jax.lax.sort(
+            (spix, idx_e, vid_f, t_f, pol_f), num_keys=2)
         first = jnp.concatenate(
             [jnp.ones((1,), bool), sp_s[1:] != sp_s[:-1]])
         is_last = jnp.concatenate(
@@ -806,8 +876,13 @@ class MultiStreamServer:
         take_new = qs[None, :] < ecnt[:, None]
         vid_only = self.queue_payload != "vt"
         if self.rel16:
+            rel_s = vid_s - base
+            if self.pol_payload:
+                rel_s = rel_s * 2 + pol_s         # < 4P <= 2^16 - 2
             got = self._chunk_fifo_payload(
-                [(vid_s - base).astype(jnp.uint16)], Q)   # [E, Q, 1]
+                [rel_s.astype(jnp.uint16)], Q)            # [E, Q, 1]
+        elif self.pol_payload:
+            got = self._chunk_fifo_payload([vid_s * 2 + pol_s], Q)
         else:
             got = self._chunk_fifo_payload(
                 [vid_s] if vid_only else [vid_s, t_s], Q)  # [E, Q, NP]
@@ -885,7 +960,7 @@ class MultiStreamServer:
         if self.bench_stage == "insert":
             # queue lives in the returned (donated) state, so the
             # scatter above survives DCE without extra anchors
-            return (state, None, None, None, None,
+            return (state, None, None, None, None, None,
                     jnp.stack([cover_evict, jnp.ones((), bool)]), ())
 
         # one (2R+1, 2R+1, 2Q) slice per event; pad rows make every
@@ -913,7 +988,7 @@ class MultiStreamServer:
             ).reshape(E, (2 * R + 1) * xb * pk, QW)  # packed sub-rows
             align = xs - bx * pk                     # == x % pack, valid evs
             if self.bench_stage == "gather":
-                return (state, None, None, None, None,
+                return (state, None, None, None, None, None,
                         jnp.stack([cover_evict, jnp.ones((), bool)]),
                         (rows,))
             return self._finish_queue_search(
@@ -951,7 +1026,7 @@ class MultiStreamServer:
                 mode=jax.lax.GatherScatterMode.CLIP,
             ).reshape(E, self.NS, QW)              # row-major cell order
         if self.bench_stage == "gather":
-            return (state, None, None, None, None,
+            return (state, None, None, None, None, None,
                     jnp.stack([cover_evict, jnp.ones((), bool)]), (rows,))
         # one materialization of the gathered slab: without the barrier
         # XLA duplicates the (expensive) gather into each consumer
@@ -993,11 +1068,24 @@ class MultiStreamServer:
             raw = jnp.zeros((S, 1, 5 + cfg.num_classes), jnp.float32) + chk
             return st, raw, {"coverage_ok": st.coverage_ok}
 
+        pol = None
+        if self.pol_payload:
+            # polarity bit for the FIFO payload + its binary-feature
+            # certificate: the algebraic conv1 reconstruction is exact
+            # only when every valid feat is one of the two static
+            # feat_values, so a violating chunk fails coverage_ok
+            # instead of silently corrupting features
+            f_lo, f_hi = self.feat_values
+            f0 = chunk_feat[..., 0]
+            feat_ok = ~jnp.any(cv & (f0 != f_lo) & (f0 != f_hi))
+            state = state.replace(
+                coverage_ok=state.coverage_ok & feat_ok)
+            pol = cv & (f0 == f_hi)
         search = {"sort": self._search_sort,
                   "queue": self._search_queue,
                   "slab": self._search_slab}[self.search_mode]
-        state, src_tab, any_hit, code_sel, src_vid, cover, chk = search(
-            state, x, y, t, cv, vid_f)
+        (state, src_tab, any_hit, code_sel, src_vid, pol_sel, cover,
+         chk) = search(state, x, y, t, cv, vid_f, pol)
         # cover[0]: bounded-state cert (ring eviction / queue depth);
         # cover[1]: feature-ring staleness cert (queue/slab modes)
         state = state.replace(
@@ -1031,13 +1119,22 @@ class MultiStreamServer:
             [chunk_feat, jnp.where(cv[..., None], pos_norm[..., :2], 0.0)],
             axis=-1)                                            # [S, C, 3]
 
-        # write the chunk into the feature ring, then gather sources —
-        # same-chunk sources read the just-written rows
-        xin = jax.lax.dynamic_update_slice(state.xin, xin_c, (0, r0, 0))
         ring_idx = jnp.clip(nbr_tab, 0, S * NR - 1).reshape(E * K)
 
         p1 = bb["conv_block1"]
         s1 = sb["conv_block1"]
+
+        def conv_math(x_src, w_tap, w_root, x_dst):
+            b_m = basis * nbr_mask[..., None]
+            # batched dot on the MXU (2x the fused multiply+sum here)
+            g = jax.lax.dot_general(
+                b_m, x_src, dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32)           # [E, P, cin]
+            P, cin, cout = w_tap.shape
+            out = jnp.dot(g.reshape(E, P * cin), w_tap.reshape(P * cin, cout),
+                          preferred_element_type=jnp.float32)
+            return out + jnp.dot(x_dst, w_root,
+                                 preferred_element_type=jnp.float32)
 
         def conv(table_flat, w_tap, w_root, x_dst):
             if self.split_conv_gather:
@@ -1057,21 +1154,36 @@ class MultiStreamServer:
                 x_src = jnp.take_along_axis(
                     table_flat, ring_idx[:, None], axis=0
                 ).reshape(E, K, -1)
-            b_m = basis * nbr_mask[..., None]
-            # batched dot on the MXU (2x the fused multiply+sum here)
-            g = jax.lax.dot_general(
-                b_m, x_src, dimension_numbers=(((1,), (1,)), ((0,), (0,))),
-                preferred_element_type=jnp.float32)           # [E, P, cin]
-            P, cin, cout = w_tap.shape
-            out = jnp.dot(g.reshape(E, P * cin), w_tap.reshape(P * cin, cout),
-                          preferred_element_type=jnp.float32)
-            return out + jnp.dot(x_dst, w_root,
-                                 preferred_element_type=jnp.float32)
+            return conv_math(x_src, w_tap, w_root, x_dst)
 
         xin_dst = xin_c.reshape(E, 3)
-        h1 = conv(xin.reshape(S * NR, 3),
-                  p1["conv_block1"]["conv"]["weight"],
-                  p1["conv_block1"]["conv"]["root"], xin_dst)
+        if self.pol_payload:
+            # conv1 sources WITHOUT the E*K-row ring gather: (px, py)
+            # are algebraic from the edge code (the sync path's
+            # nbr_dpos trick — px_src = px_dst + dx/W to ~1 ulp) and
+            # feat is the transported polarity bit mapped back to its
+            # static value; the self edge (slot 0) uses the event's own
+            # exact row.  b_m masks invalid slots, so reconstructed
+            # garbage never contributes.
+            f_lo, f_hi = self.feat_values
+            feat_src = f_lo + pol_sel.astype(jnp.float32) * (f_hi - f_lo)
+            pxk = pos_norm[..., 0].reshape(E)[:, None] + dxe
+            pyk = pos_norm[..., 1].reshape(E)[:, None] + dye
+            x_src1 = jnp.concatenate([
+                xin_dst[:, None, :],
+                jnp.stack([feat_src, pxk, pyk], axis=-1)], axis=1)
+            h1 = conv_math(x_src1,
+                           p1["conv_block1"]["conv"]["weight"],
+                           p1["conv_block1"]["conv"]["root"], xin_dst)
+            xin = state.xin          # dummy ring, never read
+        else:
+            # write the chunk into the feature ring, then gather
+            # sources — same-chunk sources read the just-written rows
+            xin = jax.lax.dynamic_update_slice(
+                state.xin, xin_c, (0, r0, 0))
+            h1 = conv(xin.reshape(S * NR, 3),
+                      p1["conv_block1"]["conv"]["weight"],
+                      p1["conv_block1"]["conv"]["root"], xin_dst)
         h1 = act(bn_eval(
             h1, p1["conv_block1"]["norm"], s1["conv_block1"]["norm"]))
         h1 = jnp.where(cv.reshape(E)[:, None], h1, 0.0)

@@ -96,7 +96,11 @@ def main():
                             search_mode=("slab" if base.startswith("slabv")
                                          else base),
                             queue_depth=qdepth, tail_every=tail_every,
-                            queue_payload=payload, slab_pack=pack)
+                            queue_payload=payload, slab_pack=pack,
+                            # "-nopol": disable the polarity-in-payload
+                            # algebraic conv1 (round-5 A/B)
+                            pol_payload=False if "-nopol" in mode else None)
+    print(f"pol_payload={srv.pol_payload}", flush=True)
     if "-split" in mode:
         srv.split_gather = True
     if "-csplit" in mode:

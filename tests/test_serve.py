@@ -152,6 +152,48 @@ def test_tail_every_cadence_matches_default():
             assert not np.asarray(raw2).any()
 
 
+@pytest.mark.parametrize("mode", ["slabv16p4", "slabvp4"])
+def test_pol_payload_matches_gathered_conv1(mode):
+    """Polarity-in-payload (algebraic conv1, round 5) must reproduce
+    the gather-based server: identical edges + coverage, raw within the
+    ~1 ulp of the algebraic px/py reconstruction.  Also pins the
+    binary-feature certificate: a non-binary feat chunk must fail
+    coverage_ok instead of silently corrupting conv1 inputs."""
+    rng = np.random.default_rng(11)
+    evs, pos, feat = _streams(rng, 2)
+    model = DAGR(CFG, height=H, width=W)
+    variables = model.init(jax.random.key(0), evs[0], train=False)
+
+    kw = dict(search_mode="slab", queue_payload=PAYLOAD[mode],
+              slab_pack=PACK[mode], chunk=32, n_streams=2)
+    srv_p = MultiStreamServer(CFG, H, W, pol_payload=True, **kw)
+    srv_g = MultiStreamServer(CFG, H, W, pol_payload=False, **kw)
+    assert srv_p.pol_payload and not srv_g.pol_payload
+    sp = srv_p.make_step(variables["params"], variables["batch_stats"],
+                         debug=True)
+    sg = srv_g.make_step(variables["params"], variables["batch_stats"],
+                         debug=True)
+    stp, stg = srv_p.init_state(), srv_g.init_state()
+    for c in chunk_streams(pos, feat, 32):
+        stp, raw_p, info_p = sp(stp, *c)
+        stg, raw_g, info_g = sg(stg, *c)
+        np.testing.assert_array_equal(
+            np.asarray(info_p["nbr_vid"]), np.asarray(info_g["nbr_vid"]))
+        np.testing.assert_array_equal(
+            np.asarray(info_p["nbr_mask"]), np.asarray(info_g["nbr_mask"]))
+        np.testing.assert_allclose(
+            np.asarray(raw_p), np.asarray(raw_g), atol=1e-5)
+    assert bool(info_p["coverage_ok"])
+
+    # non-binary feat trips the certificate
+    stp = srv_p.init_state()
+    bad = feat.copy()
+    bad[0, 5, 0] = 0.5
+    for c in chunk_streams(pos, bad, 32):
+        stp, _, info = sp(stp, *c)
+    assert not bool(info["coverage_ok"])
+
+
 def test_serve_chain_matches_stepwise():
     rng = np.random.default_rng(2)
     evs, pos, feat = _streams(rng, 2)
